@@ -1,0 +1,344 @@
+"""COCO-style captioning metrics, pure Python (no Java, no pycocoevalcap).
+
+Replaces the reference metric stack (reference src/metrics.py:16-68) which
+shelled out to pycocotools + pycocoevalcap (whose PTBTokenizer and METEOR are
+Java jars) and nltk. Implemented here from the published metric definitions:
+
+- :func:`ptb_tokenize` — a Python reimplementation of the PTBTokenizer
+  behavior pycocoevalcap applies before scoring (lowercase, drop a fixed
+  punctuation list, split clitics/hyphens like the Stanford tokenizer does
+  for the caption domain);
+- :func:`bleu` — COCO BLEU-1..4 with "closest" reference-length brevity
+  penalty (Papineni et al. 2002, as configured in coco-caption);
+- :func:`rouge_l` — ROUGE-L F-measure with beta=1.2 (Lin 2004, coco-caption
+  configuration);
+- :func:`cider` — CIDEr-D as pycocoevalcap computes it (clipped TF-IDF
+  n-gram similarity with the sigma=6 length gaussian, n=1..4 averaged, x10);
+- :func:`meteor_lite` — a Python METEOR approximation: exact + Porter-stem
+  matches with the standard METEOR parameters (alpha .9, beta 3, gamma .5).
+  The Java METEOR additionally uses WordNet synonyms/paraphrases (offline
+  data we don't have); documented divergence, typically <1 point absolute;
+- :func:`calculate_score` — the epoch-end sweep (reference metrics.py:16-39):
+  scores x100, printed and appended to the run file, preds dumped to JSON;
+- :func:`calculate_bleu_score_corpus` — per-step corpus BLEU-4 x100
+  (reference metrics.py:42-68). The reference's word_tokenize loop was a
+  no-op (it rebound loop variables), so scoring effectively ran on
+  character-split strings via nltk; here tokenization actually happens
+  (documented fix, SURVEY.md §"known reference bugs").
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+from collections import Counter, defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+# --------------------------------------------------------------------------
+# PTB-style tokenization (coco-caption preprocessing)
+# --------------------------------------------------------------------------
+
+# Punctuation removed by pycocoevalcap's PTBTokenizer wrapper.
+_PTB_PUNCT = {
+    "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+    ".", "?", "!", ",", ":", "-", "--", "...", ";",
+}
+
+_CLITICS = re.compile(r"\b(can)(not)\b|\b(\w+)(n't|'ll|'re|'ve|'s|'m|'d)\b",
+                      flags=re.IGNORECASE)
+
+
+def ptb_tokenize(caption: str) -> List[str]:
+    """Lowercase, split clitics, isolate punctuation, drop PTB punct list."""
+    text = caption.lower().strip()
+    # split standard clitics the way PTB does: don't -> do n't, it's -> it 's
+    def _split(m: re.Match) -> str:
+        groups = [g for g in m.groups() if g]
+        return " ".join(groups)
+    text = _CLITICS.sub(_split, text)
+    # isolate punctuation characters as separate tokens
+    text = re.sub(r"([\.\,\!\?\;\:\"\(\)\[\]\{\}])", r" \1 ", text)
+    tokens = [t for t in text.split() if t not in _PTB_PUNCT]
+    return tokens
+
+
+def _ngrams(tokens: Sequence[str], n: int) -> Counter:
+    return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
+
+
+# --------------------------------------------------------------------------
+# BLEU (coco-caption configuration)
+# --------------------------------------------------------------------------
+
+def bleu(gts: Dict[str, List[List[str]]], res: Dict[str, List[str]],
+         max_n: int = 4) -> List[float]:
+    """Corpus BLEU-1..max_n over pre-tokenized captions.
+
+    ``gts[id]`` = list of reference token lists; ``res[id]`` = candidate
+    token list. Uses clipped n-gram precision, geometric mean, and the
+    'closest' reference length brevity penalty (coco-caption default).
+    """
+    correct = [0] * max_n
+    total = [0] * max_n
+    cand_len = 0
+    ref_len = 0
+    for img_id, refs in gts.items():
+        cand = res[img_id]
+        cand_len += len(cand)
+        # closest reference length (ties -> shorter)
+        ref_len += min((abs(len(r) - len(cand)), len(r)) for r in refs)[1]
+        for n in range(1, max_n + 1):
+            cand_ng = _ngrams(cand, n)
+            max_ref = Counter()
+            for r in refs:
+                for ng, cnt in _ngrams(r, n).items():
+                    max_ref[ng] = max(max_ref[ng], cnt)
+            correct[n - 1] += sum(min(cnt, max_ref[ng]) for ng, cnt in cand_ng.items())
+            total[n - 1] += max(0, len(cand) - n + 1)
+    bp = 1.0 if cand_len > ref_len else math.exp(1 - ref_len / max(cand_len, 1))
+    scores = []
+    log_sum = 0.0
+    tiny, small = 1e-15, 1e-9
+    for n in range(max_n):
+        # coco-caption adds tiny/small smoothing inside the ratio
+        prec = (correct[n] + tiny) / (total[n] + small)
+        log_sum += math.log(prec)
+        scores.append(bp * math.exp(log_sum / (n + 1)))
+    return scores
+
+
+# --------------------------------------------------------------------------
+# ROUGE-L (coco-caption configuration: F with beta=1.2)
+# --------------------------------------------------------------------------
+
+def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if x == y else max(prev[j], cur[-1]))
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l(gts: Dict[str, List[List[str]]], res: Dict[str, List[str]],
+            beta: float = 1.2) -> float:
+    scores = []
+    for img_id, refs in gts.items():
+        cand = res[img_id]
+        best = 0.0
+        for ref in refs:
+            lcs = _lcs_len(cand, ref)
+            if lcs == 0:
+                continue
+            prec = lcs / len(cand) if cand else 0.0
+            rec = lcs / len(ref) if ref else 0.0
+            if prec and rec:
+                f = ((1 + beta ** 2) * prec * rec) / (rec + beta ** 2 * prec)
+                best = max(best, f)
+        scores.append(best)
+    return sum(scores) / max(len(scores), 1)
+
+
+# --------------------------------------------------------------------------
+# CIDEr (Vedantam et al. 2015, coco-caption Cider class)
+# --------------------------------------------------------------------------
+
+def cider(gts: Dict[str, List[List[str]]], res: Dict[str, List[str]],
+          max_n: int = 4, sigma: float = 6.0) -> float:
+    doc_freq: Dict[int, Counter] = {n: Counter() for n in range(1, max_n + 1)}
+    for refs in gts.values():
+        for n in range(1, max_n + 1):
+            seen = set()
+            for ref in refs:
+                seen.update(_ngrams(ref, n).keys())
+            for ng in seen:
+                doc_freq[n][ng] += 1
+    num_imgs = len(gts)
+    log_ref = math.log(max(num_imgs, 1))
+
+    def tfidf_vec(tokens: Sequence[str], n: int) -> Tuple[Dict[tuple, float], float, int]:
+        counts = _ngrams(tokens, n)
+        length = len(tokens)
+        vec: Dict[tuple, float] = {}
+        norm_sq = 0.0
+        for ng, cnt in counts.items():
+            df = math.log(max(doc_freq[n][ng], 1.0))
+            w = (cnt / 1.0) * max(log_ref - df, 0.0)
+            vec[ng] = w
+            norm_sq += w * w
+        return vec, math.sqrt(norm_sq), length
+
+    scores = []
+    for img_id, refs in gts.items():
+        cand = res[img_id]
+        score_n = []
+        for n in range(1, max_n + 1):
+            cvec, cnorm, clen = tfidf_vec(cand, n)
+            sim_total = 0.0
+            for ref in refs:
+                rvec, rnorm, rlen = tfidf_vec(ref, n)
+                # CIDEr-D: clipped dot product + length gaussian penalty
+                dot = sum(min(w, rvec.get(ng, 0.0)) * rvec.get(ng, 0.0)
+                          for ng, w in cvec.items())
+                delta = clen - rlen
+                if cnorm > 0 and rnorm > 0:
+                    sim = (dot / (cnorm * rnorm)) * math.exp(
+                        -(delta ** 2) / (2 * sigma ** 2))
+                else:
+                    sim = 0.0
+                sim_total += sim
+            score_n.append(sim_total / max(len(refs), 1))
+        scores.append(10.0 * sum(score_n) / max_n)
+    return sum(scores) / max(len(scores), 1)
+
+
+# --------------------------------------------------------------------------
+# METEOR (python approximation: exact + Porter stems; no WordNet offline)
+# --------------------------------------------------------------------------
+
+def _porter_stem(word: str) -> str:
+    """Tiny Porter-style suffix stripper (covers the common caption forms)."""
+    for suf in ("ational", "iveness", "fulness", "ousness", "ization"):
+        if word.endswith(suf) and len(word) > len(suf) + 2:
+            return word[: -len(suf)]
+    for suf in ("ingly", "edly", "ing", "ed", "ies", "es", "ly", "s"):
+        if word.endswith(suf) and len(word) > len(suf) + 2:
+            return word[: -len(suf)]
+    return word
+
+
+def _meteor_align(cand: Sequence[str], ref: Sequence[str]) -> Tuple[int, int]:
+    """Greedy two-stage alignment (exact, then stem). Returns (#matches, #chunks)."""
+    matched_ref = [False] * len(ref)
+    align: List[Tuple[int, int]] = []
+    for stage in (0, 1):
+        for i, cw in enumerate(cand):
+            if any(a[0] == i for a in align):
+                continue
+            key_c = cw if stage == 0 else _porter_stem(cw)
+            for j, rw in enumerate(ref):
+                if matched_ref[j]:
+                    continue
+                key_r = rw if stage == 0 else _porter_stem(rw)
+                if key_c == key_r:
+                    align.append((i, j))
+                    matched_ref[j] = True
+                    break
+    if not align:
+        return 0, 0
+    align.sort()
+    chunks = 1
+    for (i0, j0), (i1, j1) in zip(align, align[1:]):
+        if not (i1 == i0 + 1 and j1 == j0 + 1):
+            chunks += 1
+    return len(align), chunks
+
+
+def meteor_lite(gts: Dict[str, List[List[str]]], res: Dict[str, List[str]],
+                alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5) -> float:
+    scores = []
+    for img_id, refs in gts.items():
+        cand = res[img_id]
+        best = 0.0
+        for ref in refs:
+            m, chunks = _meteor_align(cand, ref)
+            if m == 0:
+                continue
+            prec = m / len(cand)
+            rec = m / len(ref)
+            fmean = prec * rec / (alpha * prec + (1 - alpha) * rec)
+            frag = chunks / m
+            penalty = gamma * (frag ** beta)
+            best = max(best, fmean * (1 - penalty))
+        scores.append(best)
+    return sum(scores) / max(len(scores), 1)
+
+
+# --------------------------------------------------------------------------
+# Entry points mirroring the reference API
+# --------------------------------------------------------------------------
+
+def evaluate_captions(outputs: List[dict],
+                      annotations: Dict[str, List[str]]) -> Dict[str, float]:
+    """Full COCO metric sweep over ``[{image_id, caption}]`` predictions.
+
+    ``annotations`` maps image_id -> list of raw reference captions (the
+    content of MSR_VTT.json for the split). Returns scores on the raw 0-1
+    (or CIDEr 0-10) scale; callers x100 like the reference does.
+    """
+    res: Dict[str, List[str]] = {}
+    gts: Dict[str, List[List[str]]] = {}
+    for out in outputs:
+        img_id = str(out["image_id"])
+        if img_id not in annotations:
+            continue
+        res[img_id] = ptb_tokenize(out["caption"])
+        gts[img_id] = [ptb_tokenize(c) for c in annotations[img_id]]
+    if not res:
+        return {}
+    b = bleu(gts, res)
+    return {
+        "Bleu_1": b[0],
+        "Bleu_2": b[1],
+        "Bleu_3": b[2],
+        "Bleu_4": b[3],
+        "METEOR": meteor_lite(gts, res),
+        "ROUGE_L": rouge_l(gts, res),
+        "CIDEr": cider(gts, res),
+    }
+
+
+def load_coco_annotations(ann_file: str) -> Dict[str, List[str]]:
+    """Parse a COCO-format annotation JSON into image_id -> captions."""
+    with open(ann_file) as f:
+        ann = json.load(f)
+    table: Dict[str, List[str]] = defaultdict(list)
+    for a in ann.get("annotations", []):
+        table[str(a["image_id"])].append(a["caption"])
+    return dict(table)
+
+
+def calculate_score(outputs: List[dict], filepath: str, run_dir: str,
+                    ann_file: str = "data/MSRVTT/annotation/MSR_VTT.json") -> Dict[str, float]:
+    """Reference-faithful epoch-end sweep (reference metrics.py:16-39):
+    dump preds JSON, score vs COCO annotations, x100, print + append to file.
+    """
+    os.makedirs(run_dir, exist_ok=True)
+    res_file = os.path.join(run_dir, "validation_preds.json")
+    with open(res_file, "w") as f:
+        json.dump(outputs, f)
+    with open(filepath, "a") as f:
+        f.write("\n\n")
+        f.write(json.dumps(outputs))
+
+    annotations = load_coco_annotations(ann_file)
+    raw = evaluate_captions(outputs, annotations)
+    out = {}
+    for metric, score in raw.items():
+        out[metric] = score * 100
+        print(f"{metric}: {score * 100}")
+    with open(filepath, "a") as f:
+        f.write("\n\n")
+        f.write(json.dumps(out))
+    return out
+
+
+def calculate_bleu_score_corpus(references: List[List[str]],
+                                candidates: List[str]) -> float:
+    """Corpus BLEU-4 x100 on raw strings (reference metrics.py:42-68).
+
+    The reference's tokenize loop was a no-op; here candidates/references are
+    actually PTB-tokenized before scoring (bug fixed, documented).
+    """
+    assert len(references) == len(candidates), \
+        "The lengths of references and candidates must be the same"
+    assert isinstance(references, list) and isinstance(candidates, list)
+    gts = {str(i): [ptb_tokenize(r) for r in refs]
+           for i, refs in enumerate(references)}
+    res = {str(i): ptb_tokenize(c) for i, c in enumerate(candidates)}
+    return bleu(gts, res)[3] * 100

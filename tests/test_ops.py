@@ -1,0 +1,147 @@
+"""Attention / masking / preprocessing op tests (CPU, 8 virtual devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtvc_tpu.ops import (
+    create_causal_mask,
+    create_padding_mask,
+    multi_head_attention,
+)
+from rtvc_tpu.ops.attention import _pallas_attention, xla_attention
+from rtvc_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD, clip_preprocess
+
+
+def test_padding_mask():
+    seq = jnp.array([[1, 2, 0, 0], [3, 0, 0, 0]])
+    mask = create_padding_mask(seq)
+    np.testing.assert_array_equal(
+        np.asarray(mask),
+        [[False, False, True, True], [False, True, True, True]])
+
+
+def test_causal_mask():
+    m = create_causal_mask(4)
+    assert not m[2, 1] and not m[2, 2]
+    assert m[2, 3]  # future masked
+
+
+def _rand_qkv(key, b=2, h=4, lq=13, lkv=21, d=24):
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (b, h, lq, d), jnp.float32)
+    k = jax.random.normal(k2, (b, h, lkv, d), jnp.float32)
+    v = jax.random.normal(k3, (b, h, lkv, d), jnp.float32)
+    return q, k, v
+
+
+def _naive_attention(q, k, v, causal=False, prefix_len=0, kv_mask=None):
+    scale = q.shape[-1] ** -0.5
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    lq, lkv = s.shape[2], s.shape[3]
+    if causal:
+        qi = np.arange(lq)[:, None]
+        ki = np.arange(lkv)[None, :]
+        allowed = (ki < prefix_len) | (ki <= qi)
+        s = np.where(allowed[None, None], s, -1e30)
+    if kv_mask is not None:
+        s = np.where(kv_mask[:, None, None, :], s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize("causal,prefix", [(False, 0), (True, 0), (True, 7)])
+def test_xla_attention_matches_naive(causal, prefix):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0))
+    kv_mask = jnp.arange(21)[None, :] < jnp.array([[21], [15]])
+    # parity check at full precision (default matmul precision truncates
+    # inputs to bf16-like even on CPU — that's the intended fast path, but
+    # reference comparisons need exact matmuls)
+    with jax.default_matmul_precision("highest"):
+        out = xla_attention(q, k, v, causal=causal, prefix_len=prefix,
+                            kv_mask=kv_mask)
+    ref = _naive_attention(np.asarray(q), np.asarray(k), np.asarray(v),
+                           causal=causal, prefix_len=prefix,
+                           kv_mask=np.asarray(kv_mask))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal,prefix", [(False, 0), (True, 0), (True, 7)])
+def test_pallas_attention_interpret_matches_xla(causal, prefix):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), lq=130, lkv=140, d=72)
+    kv_mask = jnp.arange(140)[None, :] < jnp.array([[140], [100]])
+    with jax.default_matmul_precision("highest"):
+        out_p = _pallas_attention(q, k, v, kv_mask, causal=causal,
+                                  prefix_len=prefix, scale=72 ** -0.5,
+                                  interpret=True)
+        out_x = xla_attention(q, k, v, causal=causal, prefix_len=prefix,
+                              kv_mask=kv_mask)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_mha_gradients_flow():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2), lq=8, lkv=8, d=16)
+
+    def loss(q, k, v):
+        out = multi_head_attention(q, k, v, causal=True, use_pallas=False)
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert jnp.all(jnp.isfinite(g))
+        assert float(jnp.abs(g).max()) > 0
+
+
+def test_attention_dropout_changes_output():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), lq=8, lkv=8, d=16)
+    out_det = multi_head_attention(q, k, v, use_pallas=False)
+    out_drop = multi_head_attention(q, k, v, dropout_rate=0.5,
+                                    dropout_rng=jax.random.PRNGKey(0),
+                                    use_pallas=False)
+    assert not np.allclose(np.asarray(out_det), np.asarray(out_drop))
+
+
+def test_clip_preprocess_shapes_and_stats():
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(6, 360, 480, 3), dtype=np.uint8)
+    out = clip_preprocess(jnp.asarray(frames))
+    assert out.shape == (6, 224, 224, 3)
+    # A mid-gray image should normalize to ((0.5 - mean) / std)
+    gray = np.full((1, 224, 224, 3), 128, np.uint8)
+    got = np.asarray(clip_preprocess(jnp.asarray(gray)))[0, 0, 0]
+    want = (128 / 255 - np.array(CLIP_MEAN)) / np.array(CLIP_STD)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_clip_preprocess_matches_torchvision():
+    torch = pytest.importorskip("torch")
+    torchvision = pytest.importorskip("torchvision")
+    from PIL import Image
+    from torchvision.transforms import (CenterCrop, Compose, Normalize,
+                                        Resize, ToTensor)
+
+    rng = np.random.default_rng(1)
+    # smooth image (random low-freq) so PIL-vs-jax bicubic edge diffs stay small
+    small = rng.random((12, 16, 3)).astype(np.float32)
+    big = np.array(Image.fromarray(
+        (small * 255).astype(np.uint8)).resize((480, 360), Image.BILINEAR))
+    frame_bgr = big[..., ::-1].copy()  # pipeline input is BGR
+
+    trans = Compose([
+        ToTensor(),
+        Resize(224, interpolation=Image.BICUBIC),
+        CenterCrop(224),
+        Normalize(CLIP_MEAN, CLIP_STD),
+    ])
+    # reference applies BGR->RGB flip between crop and normalize
+    t = ToTensor()(frame_bgr)
+    t = Resize(224, interpolation=Image.BICUBIC)(t)
+    t = CenterCrop(224)(t)
+    t = t[[2, 1, 0], ...]
+    ref = Normalize(CLIP_MEAN, CLIP_STD)(t).numpy().transpose(1, 2, 0)
+
+    got = np.asarray(clip_preprocess(jnp.asarray(frame_bgr[None])))[0]
+    assert np.abs(got - ref).mean() < 0.05
