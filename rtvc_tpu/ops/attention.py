@@ -77,16 +77,23 @@ def _mask_bias(lq: int, lkv: int, causal: bool, prefix_len: int,
 def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                   causal: bool = False, prefix_len: int = 0,
                   kv_mask: Optional[jnp.ndarray] = None,
+                  bias: Optional[jnp.ndarray] = None,
                   scale: Optional[float] = None,
                   dropout_rate: float = 0.0,
                   dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
-    """Plain XLA attention. q,k,v: [B, H, L, D]. Used on CPU and for grads."""
+    """Plain XLA attention. q,k,v: [B, H, L, D]. Used on CPU and for grads.
+
+    ``bias``: optional additive attention bias broadcastable to
+    [B, H, Lq, Lkv] (e.g. TinyViT's learned relative-position biases).
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     scores = scores + _mask_bias(q.shape[2], k.shape[2], causal, prefix_len,
                                  kv_mask)
+    if bias is not None:
+        scores = scores + bias
     probs = jax.nn.softmax(scores, axis=-1)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
@@ -105,6 +112,7 @@ def _make_kernel(scale: float, causal: bool, prefix_len: int, block_q: int,
     from jax.experimental import pallas as pl  # deferred: CPU tests may lack TPU
 
     def kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref):
+        bi = pl.program_id(0)
         qi = pl.program_id(2)
         q = q_ref[0, 0].astype(jnp.float32)           # [block_q, D]
         k = k_ref[0, 0].astype(jnp.float32)           # [Lkv, D]
@@ -121,8 +129,8 @@ def _make_kernel(scale: float, causal: bool, prefix_len: int, block_q: int,
             q_idx = q_idx + qi * block_q
             allowed = (k_idx < prefix_len) | (k_idx <= q_idx)
             valid = valid & allowed
-        kvm = kvm_ref[0] > 0                           # [Lkv] key-validity
-        valid = valid & kvm[None, :]
+        kvm = kvm_ref[pl.ds(bi, 1), :] > 0             # [1, Lkv] key-validity
+        valid = valid & kvm
         scores = jnp.where(valid, scores, _NEG_INF)
 
         m = jnp.max(scores, axis=-1, keepdims=True)
@@ -171,7 +179,9 @@ def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lkvp, dp), lambda bi, hi, qi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lkvp), lambda bi, hi, qi: (bi, 0),
+            # full-array block (kernel indexes its row via program_id): a
+            # (1, Lkv) block would violate the (8, 128) tile rule
+            pl.BlockSpec((b, lkvp), lambda bi, hi, qi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, dp),
@@ -245,26 +255,28 @@ def _on_tpu() -> bool:
 def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                          causal: bool = False, prefix_len: int = 0,
                          kv_mask: Optional[jnp.ndarray] = None,
+                         bias: Optional[jnp.ndarray] = None,
                          scale: Optional[float] = None,
                          dropout_rate: float = 0.0,
                          dropout_rng: Optional[jax.Array] = None,
                          use_pallas: Optional[bool] = None) -> jnp.ndarray:
-    """Dispatching MHA: Pallas fused kernel on TPU (no attention-dropout),
-    XLA fallback elsewhere / when attention dropout is active.
+    """Dispatching MHA: Pallas fused kernel on TPU (no attention-dropout,
+    no arbitrary bias), XLA fallback elsewhere.
 
     The reference applied dropout inside SDPA (torch default). Here
-    attention-probs dropout routes to the XLA path; the Pallas kernel covers
-    the deterministic (inference + bf16 training w/o attn-dropout) paths.
+    attention-probs dropout and learned additive biases route to the XLA
+    path (XLA fuses these fine at window-attention sizes); the Pallas kernel
+    covers the long-sequence decoder/teacher paths.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     wants_dropout = dropout_rate > 0.0 and dropout_rng is not None
     if use_pallas is None:
-        use_pallas = _on_tpu() and not wants_dropout
+        use_pallas = _on_tpu() and not wants_dropout and bias is None
     if use_pallas:
         return flash_attention(q, k, v, causal=causal, prefix_len=prefix_len,
                                kv_mask=kv_mask, scale=scale)
     return xla_attention(q, k, v, causal=causal, prefix_len=prefix_len,
-                         kv_mask=kv_mask, scale=scale,
+                         kv_mask=kv_mask, bias=bias, scale=scale,
                          dropout_rate=dropout_rate if wants_dropout else 0.0,
                          dropout_rng=dropout_rng)

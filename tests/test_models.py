@@ -1,0 +1,156 @@
+"""Model shape/behavior tests on tiny configs (CPU-fast)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtvc_tpu.models.clip_vit import CLIPViT, CLIPViTConfig
+from rtvc_tpu.models.git_teacher import GITConfig, GITTeacher
+from rtvc_tpu.models.layers import sinusoidal_position_encoding
+from rtvc_tpu.models.student import StudentCandidateV1
+from rtvc_tpu.models.tinyvit import TinyViT, TinyViTConfig
+
+TINY_ENC = TinyViTConfig(embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+                         num_heads=(1, 2, 2, 2), window_sizes=(4, 4, 4, 4),
+                         drop_path_rate=0.0)
+
+TINY_CLIP = CLIPViTConfig(image_size=28, patch_size=14, width=32, layers=3,
+                          heads=2)
+
+TINY_GIT = GITConfig(vocab_size=211, hidden_size=16, num_layers=2,
+                     attention_heads=2, feedforward_size=32,
+                     visual_feature_size=32, max_caption_length=64,
+                     num_image_with_embedding=2, clip=TINY_CLIP)
+
+
+def tiny_student(**kw):
+    defaults = dict(d_model=32, n_head=4, d_ffn=64, dropout=0.1,
+                    num_decoder_layers=2, vocab_size=211, max_pos_len=64,
+                    encoder_config=TINY_ENC, teacher_visual_dim=32,
+                    teacher_num_tokens=10, teacher_hidden=16)
+    defaults.update(kw)
+    return StudentCandidateV1(**defaults)
+
+
+def test_positional_encoding_table():
+    pe = sinusoidal_position_encoding(10, 8)
+    assert pe.shape == (10, 8)
+    np.testing.assert_allclose(pe[0], [0, 1, 0, 1, 0, 1, 0, 1], atol=1e-6)
+    # pe[pos, 0] = sin(pos)
+    np.testing.assert_allclose(pe[1, 0], np.sin(1.0), atol=1e-6)
+
+
+def test_tinyvit_stage_shapes():
+    model = TinyViT(TINY_ENC)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    fmaps = model.apply(variables, x)
+    assert [f.shape for f in fmaps] == [
+        (2, 16, 16, 8), (2, 8, 8, 16), (2, 4, 4, 24), (2, 2, 2, 32)]
+
+
+def test_tinyvit_batchnorm_updates():
+    model = TinyViT(TINY_ENC)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    _, mutated = model.apply(variables, x, True, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(mutated["batch_stats"])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_student_forward_shapes():
+    model = tiny_student()
+    frames = jnp.zeros((2, 3, 64, 64, 3))  # B=2, F=3
+    y = jnp.array([[101, 5, 6, 0], [101, 7, 0, 0]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), frames, y)
+    outs = model.apply(variables, frames, y)
+    assert len(outs) == 5  # 4 fmaps + logits (reference model.py:106-112)
+    assert outs[-1].shape == (2, 4, 211)
+    # memory: spatial mean of last stage, [B, F, d_model]
+    _, memory = model.apply(variables, frames,
+                            method=lambda m, x: m.forward_image_enc(x))
+    assert memory.shape == (2, 3, 32)
+
+
+def test_student_accepts_nchw():
+    model = tiny_student()
+    frames_nhwc = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 64, 64, 3))
+    frames_nchw = jnp.transpose(frames_nhwc, (0, 1, 4, 2, 3))
+    y = jnp.array([[101, 5]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), frames_nhwc, y)
+    out1 = model.apply(variables, frames_nhwc, y)[-1]
+    out2 = model.apply(variables, frames_nchw, y)[-1]
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_student_projectors():
+    model = tiny_student()
+    frames = jnp.zeros((2, 3, 64, 64, 3))
+    y = jnp.array([[101, 5], [101, 6]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), frames, y,
+                           method=StudentCandidateV1.full_init)
+    fmaps, _ = model.apply(variables, frames,
+                           method=lambda m, x: m.forward_image_enc(x))
+    proj = model.apply(variables, fmaps,
+                       method=lambda m, f: m.project_stage_means(f))
+    assert len(proj) == 4
+    assert all(p.shape == (6, 32) for p in proj)  # B*F rows, teacher width
+    # loss-4 heads: [B, teacher_tokens, teacher_width]
+    _, _, _, vis = model.apply(variables, frames, y,
+                               method=StudentCandidateV1.full_init)
+    assert vis.shape == (2, 10, 32)
+
+
+def test_student_dropout_active_in_train():
+    model = tiny_student(dropout=0.5)
+    frames = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 64, 64, 3))
+    y = jnp.array([[101, 5, 6]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), frames, y)
+    out_det = model.apply(variables, frames, y)[-1]
+    out_tr, _ = model.apply(variables, frames, y, True,
+                            rngs={"dropout": jax.random.PRNGKey(7)},
+                            mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(out_det), np.asarray(out_tr[-1]))
+
+
+def test_clip_vit_token_shapes():
+    model = CLIPViT(TINY_CLIP)
+    x = jnp.zeros((2, 28, 28, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    tokens, taps = model.apply(variables, x, (0, 2))
+    assert tokens.shape == (2, 5, 32)  # 1 CLS + 2x2 patches
+    assert len(taps) == 2 and taps[0].shape == (2, 5, 32)
+
+
+def test_git_teacher_forward():
+    model = GITTeacher(TINY_GIT)
+    frames = jnp.zeros((2, 2, 28, 28, 3))
+    caps = jnp.array([[101, 5, 6, 102], [101, 7, 102, 0]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), frames, caps)
+    logits, visual, hidden, cls_taps = model.apply(
+        variables, frames, caps, (0, 1),
+        method=lambda m, f, c, b: m.forward_output_logits(f, c, b))
+    assert logits.shape == (2, 4, 211)
+    assert visual.shape == (2, 2 * 5, 32)  # F frames x 5 tokens
+    assert len(hidden) == 2
+    assert hidden[0].shape == (2, 10 + 4, 16)  # joint [visual; text]
+    assert len(cls_taps) == 2 and cls_taps[0].shape == (2, 2, 32)
+
+
+def test_git_prefix_causal_mask_semantics():
+    """Text token t must not see text tokens > t but must see all visual."""
+    model = GITTeacher(TINY_GIT)
+    frames = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 28, 28, 3))
+    caps = jnp.array([[101, 5, 6, 7]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), frames, caps)
+    logits1 = model.apply(variables, frames, caps)
+    # changing a FUTURE caption token must not change earlier logits
+    caps2 = caps.at[0, 3].set(9)
+    logits2 = model.apply(variables, frames, caps2)
+    np.testing.assert_allclose(np.asarray(logits1[0, :3]),
+                               np.asarray(logits2[0, :3]), atol=1e-5)
+    assert not np.allclose(np.asarray(logits1[0, 3]),
+                           np.asarray(logits2[0, 3]))
