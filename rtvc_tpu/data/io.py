@@ -1,0 +1,81 @@
+"""Checkpoint I/O: orbax-backed save/restore + inference-loading helpers.
+
+Replaces the reference's torch checkpoint plumbing (reference
+src/utils/io.py:8-64 and Lightning ModelCheckpoint, config.py:47-54):
+
+- ``save_checkpoint`` / ``restore_checkpoint``: orbax PyTree checkpoints of
+  ``{params, batch_stats, opt_state, step, ...}`` — unlike the reference,
+  optimizer state and step are restored, so mid-training resume actually
+  works (the reference never restored optimizer state, SURVEY.md §5);
+- ``load_kd_student_params``: reference ``load_kd_student_model``
+  (io.py:8-35) — load a trained checkpoint and DROP the distillation-only
+  heads (projectors/upsample/project/project_decoder) for inference;
+- ``load_pruned_params``: reference ``load_pruned_model`` (io.py:38-64).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+PyTree = Any
+
+_DISTILL_HEADS = ("projector_0", "projector_1", "projector_2", "projector_3",
+                  "upsample", "project", "project_decoder")
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, tree: PyTree, force: bool = True) -> None:
+    path = os.path.abspath(path)
+    ckptr = _checkpointer()
+    ckptr.save(path, jax.tree.map(np.asarray, tree), force=force)
+
+
+def restore_checkpoint(path: str, target: Optional[PyTree] = None) -> PyTree:
+    ckptr = _checkpointer()
+    if target is not None:
+        import orbax.checkpoint as ocp
+        return ckptr.restore(os.path.abspath(path),
+                             args=ocp.args.PyTreeRestore(item=target))
+    return ckptr.restore(os.path.abspath(path))
+
+
+def strip_distillation_heads(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop projector/upsample/project/project_decoder params
+    (reference io.py:27-34 deleted the same attributes for inference)."""
+    return {k: v for k, v in params.items() if k not in _DISTILL_HEADS}
+
+
+def load_kd_student_params(ckpt_path: str) -> Dict[str, Any]:
+    """Load a distillation checkpoint and return inference-ready student
+    params (distillation heads removed)."""
+    tree = restore_checkpoint(ckpt_path)
+    params = tree["params"] if "params" in tree else tree
+    out = dict(tree) if "params" in tree else {"params": params}
+    out["params"] = strip_distillation_heads(dict(params))
+    return out
+
+
+def load_pruned_params(ckpt_path: str) -> Dict[str, Any]:
+    """Load a pruned checkpoint (masks already baked into the weights,
+    reference pruning.py:52-53 + io.py:48-62)."""
+    return load_kd_student_params(ckpt_path)
+
+
+def latest_checkpoint(run_dir: str) -> Optional[str]:
+    """Find the newest checkpoint dir under a run directory (the reference
+    globbed ``results/run/<name>/*.ckpt``, inference.py:29-32)."""
+    if not os.path.isdir(run_dir):
+        return None
+    cands = [os.path.join(run_dir, d) for d in os.listdir(run_dir)
+             if d.startswith("ckpt")]
+    if not cands:
+        return None
+    return max(cands, key=os.path.getmtime)

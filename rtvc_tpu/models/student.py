@@ -28,7 +28,7 @@ decoding is a fixed-shape ``lax`` loop over one-token decoder invocations.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -275,6 +275,27 @@ class StudentCandidateV1(nn.Module):
         fmaps, memory = self.forward_image_enc(x, train=train)
         out = self.forward_decoder(y, memory, train=train)
         return fmaps + [out]
+
+    def distill_forward(self, x: jnp.ndarray, y: jnp.ndarray,
+                        train: bool = True, need_fmap: bool = False,
+                        need_visual: bool = False,
+                        need_decoder: bool = False) -> Dict[str, Any]:
+        """Training-step forward returning exactly the intermediates the
+        configured distillation losses need (replaces the reference's hook
+        harvesting, model.py:844-857). Flags are static so XLA never
+        computes unused heads."""
+        fmaps, memory = self.forward_image_enc(x, train=train)
+        logits, hidden = self.forward_decoder(y, memory, train=train,
+                                              return_hidden=True)
+        out: Dict[str, Any] = {"logits": logits, "memory": memory}
+        if need_fmap:
+            out["proj_means"] = self.project_stage_means(fmaps)
+        if need_visual:
+            up = self.upsample(jnp.swapaxes(memory, 1, 2))
+            out["student_visual"] = self.project(jnp.swapaxes(up, 1, 2))
+        if need_decoder:
+            out["hidden_proj"] = [self.project_decoder(h) for h in hidden]
+        return out
 
     def full_init(self, x: jnp.ndarray, y: jnp.ndarray):
         """Initialization-only forward touching EVERY parameterized head

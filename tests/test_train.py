@@ -1,0 +1,163 @@
+"""Training-loop tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from rtvc_tpu.config import Config
+from rtvc_tpu.distill import LossWeights
+from rtvc_tpu.models.clip_vit import CLIPViTConfig
+from rtvc_tpu.models.git_teacher import GITConfig, GITTeacher
+from rtvc_tpu.models.student import StudentCandidateV1
+from rtvc_tpu.models.tinyvit import TinyViTConfig
+from rtvc_tpu.parallel.mesh import make_mesh, place_params, replicate, shard_batch
+from rtvc_tpu.train import (PlateauScheduler, TrainState, create_train_state,
+                            make_train_step, train)
+
+ENC = TinyViTConfig(embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
+                    num_heads=(1, 2, 2, 2), window_sizes=(4, 4, 4, 4),
+                    drop_path_rate=0.0)
+CLIP224 = CLIPViTConfig(image_size=224, patch_size=14, width=32, layers=2,
+                        heads=2)
+GIT224 = GITConfig(vocab_size=173, hidden_size=16, num_layers=2,
+                   attention_heads=2, feedforward_size=32,
+                   visual_feature_size=32, max_caption_length=64,
+                   num_image_with_embedding=2, clip=CLIP224)
+
+
+def tiny_pair():
+    student = StudentCandidateV1(
+        d_model=32, n_head=4, d_ffn=64, dropout=0.1, num_decoder_layers=2,
+        vocab_size=173, max_pos_len=64, encoder_config=ENC,
+        teacher_visual_dim=32, teacher_num_tokens=2 * 257, teacher_hidden=16)
+    teacher = GITTeacher(GIT224)
+    return student, teacher
+
+
+def synth_batch(b=8, f=2, t=6, vocab=173, seed=0):
+    rng = np.random.default_rng(seed)
+    frames = rng.normal(size=(b, f, 224, 224, 3)).astype(np.float32)
+    caps = np.zeros((b, t), np.int32)
+    caps[:, 0] = 101
+    lens = rng.integers(2, t, size=b)
+    for i in range(b):
+        caps[i, 1:lens[i]] = rng.integers(3, vocab, size=lens[i] - 1)
+    return {"frames": jnp.asarray(frames), "caption": jnp.asarray(caps)}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    student, teacher = tiny_pair()
+    batch = synth_batch()
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+    state = create_train_state(student, jax.random.PRNGKey(0), batch, tx)
+    tvars = teacher.init(jax.random.PRNGKey(1), batch["frames"][:1],
+                         batch["caption"][:1])
+    return student, teacher, batch, tx, state, tvars
+
+
+def test_train_step_runs_and_learns(setup):
+    student, teacher, batch, tx, state, tvars = setup
+    step = make_train_step(student, teacher, tx, donate=False)
+    rng = jax.random.PRNGKey(2)
+    losses = []
+    for _ in range(6):
+        state, m = step(state, tvars, batch, rng)
+        losses.append(float(m["total"]))
+        assert np.isfinite(losses[-1])
+        assert np.isfinite(float(m["grad_norm"]))
+    assert losses[-1] < losses[0]  # overfits a fixed batch
+    assert int(state.step) == 6
+
+
+def test_train_step_all_losses_enabled(setup):
+    student, teacher, batch, tx, state, tvars = setup
+    weights = LossWeights(kl=1, ce=1, fmap=1, final_enc=1, decoder=1)
+    step = make_train_step(student, teacher, tx, weights, donate=False)
+    state, m = step(state, tvars, batch, jax.random.PRNGKey(3))
+    for key in ("kl", "ce", "fmap", "final_enc", "decoder", "total"):
+        assert key in m and np.isfinite(float(m[key])), key
+
+
+def test_data_parallel_sharded_step(setup):
+    student, teacher, batch, tx, state, tvars = setup
+    mesh = make_mesh((-1, 1))
+    assert mesh.shape["dp"] == 8
+    state = TrainState(params=place_params(state.params, mesh),
+                       batch_stats=replicate(state.batch_stats, mesh),
+                       opt_state=jax.device_put(state.opt_state),
+                       step=state.step)
+    tvars_r = replicate(tvars, mesh)
+    sharded = shard_batch(batch, mesh)
+    # each dp shard holds B/8 rows
+    assert sharded["frames"].sharding.num_devices == 8
+    step = make_train_step(student, teacher, tx, donate=False)
+    new_state, m = step(state, tvars_r, sharded, jax.random.PRNGKey(4))
+    assert np.isfinite(float(m["total"]))
+    # params stay replicated after the update
+    leaf = jax.tree.leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_dp_matches_single_device(setup):
+    """The dp-sharded step must produce the same loss as unsharded."""
+    student, teacher, batch, tx, state, tvars = setup
+    step = make_train_step(student, teacher, tx, donate=False)
+    rng = jax.random.PRNGKey(5)
+    with jax.default_matmul_precision("highest"):
+        _, m_single = step(state, tvars, batch, rng)
+        mesh = make_mesh((-1, 1))
+        state_r = TrainState(params=place_params(state.params, mesh),
+                             batch_stats=replicate(state.batch_stats, mesh),
+                             opt_state=jax.device_put(state.opt_state),
+                             step=state.step)
+        _, m_shard = step(state_r, replicate(tvars, mesh),
+                          shard_batch(batch, mesh), rng)
+    assert abs(float(m_single["total"]) - float(m_shard["total"])) < 1e-3
+
+
+def test_plateau_scheduler():
+    s = PlateauScheduler(lr=1.0, factor=0.5, patience=2, min_lr=0.01)
+    assert s.update(1.0) == 1.0   # improvement (best=inf → 1.0)
+    assert s.update(0.5) == 1.0   # improvement
+    for v in (0.6, 0.6):          # 2 bad epochs = patience, not yet over
+        assert s.update(v) == 1.0
+    assert s.update(0.6) == 0.5   # 3rd bad epoch > patience → halve
+    s2 = PlateauScheduler(lr=0.02, factor=0.5, patience=0, min_lr=0.015)
+    s2.update(1.0)
+    assert s2.update(2.0) == 0.015  # clipped at min_lr
+
+
+def test_full_train_orchestration(tmp_path):
+    """One-epoch end-to-end train(): loop, eval, transcripts, checkpoints."""
+    from rtvc_tpu.config import from_dict
+    from rtvc_tpu.tokenization import BertWordPieceTokenizer
+
+    student, teacher = tiny_pair()
+    config = from_dict({
+        "logger": {"save_dir": str(tmp_path)},
+        "train": {"lr": 1e-3, "batch_size": 4,
+                  "trainer": {"max_epochs": 1}},
+        "wandb": {"mode": "disabled"},
+    })
+    tok = BertWordPieceTokenizer()
+
+    def loader(seed):
+        return [synth_batch(b=4, seed=seed) | {"vid-id": [f"v{i}" for i in range(4)],
+                                               "caption-id": list(range(4))}]
+
+    tvars = teacher.init(jax.random.PRNGKey(1),
+                         synth_batch(b=1)["frames"], synth_batch(b=1)["caption"])
+    state, history = train(config, loader(0), loader(1), loader(2), tok,
+                           run_name="t", student=student, teacher=teacher,
+                           teacher_vars=tvars, max_epochs=1)
+    assert len(history["train_loss"]) == 1
+    assert np.isfinite(history["train_loss"][0])
+    run_dir = tmp_path / "run" / "t"
+    assert (run_dir / "_results_and_metrics.txt").exists()
+    assert (run_dir / "scalars.jsonl").exists()
+    assert any(p.name.startswith("ckpt") for p in run_dir.iterdir())
+    text = (run_dir / "_results_and_metrics.txt").read_text()
+    assert "Validation Results" in text and "BLEU@4" in text
