@@ -75,10 +75,10 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         x = x + CLIPAttention(self.width, self.heads, self.dtype,
                               name="attn")(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(h)
         h = quick_gelu(h)
         h = nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
@@ -120,7 +120,7 @@ class CLIPViT(nn.Module):
                                    (b, 1, cfg.width))
         x = jnp.concatenate([cls_tok, x], axis=1)
         x = x + pos_emb.astype(cfg.dtype)[None]
-        x = nn.LayerNorm(dtype=cfg.dtype, name="ln_pre")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_pre")(x)
 
         wanted = set(block_indices or [])
         taps: List[jnp.ndarray] = []
@@ -130,5 +130,5 @@ class CLIPViT(nn.Module):
             if i in wanted:
                 taps.append(x)
 
-        x = nn.LayerNorm(dtype=cfg.dtype, name="ln_post")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_post")(x)
         return x, taps

@@ -127,9 +127,9 @@ class TransformerDecoderLayer(nn.Module):
         self.cross_attn = MHAProjections(self.d_model, self.n_head, self.dtype)
         self.linear1 = nn.Dense(self.d_ffn, dtype=self.dtype)
         self.linear2 = nn.Dense(self.d_model, dtype=self.dtype)
-        self.norm1 = nn.LayerNorm(dtype=self.dtype)
-        self.norm2 = nn.LayerNorm(dtype=self.dtype)
-        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
 
     def _ffn(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:

@@ -163,7 +163,7 @@ class WindowAttention(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         n = x.shape[1]
         key_dim = self.dim // self.num_heads
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         qkv = nn.Dense(self.num_heads * key_dim * 3, dtype=self.dtype,
                        name="qkv")(x)
         qkv = qkv.reshape(x.shape[0], n, self.num_heads, 3, key_dim)

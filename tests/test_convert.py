@@ -1,0 +1,294 @@
+"""Weight-conversion tests, including NUMERICAL parity against real torch
+modules (torch is in the image for exactly this purpose — checkpoint
+conversion, never compute)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from rtvc_tpu.models import convert
+from rtvc_tpu.models.student import StudentCandidateV1, TransformerDecoderLayer
+from rtvc_tpu.models.tinyvit import TinyViT, TinyViTConfig
+
+from test_models import TINY_ENC, tiny_student
+
+D, H, FFN = 32, 4, 64
+
+
+@pytest.fixture(scope="module")
+def torch_layer():
+    torch.manual_seed(0)
+    layer = torch.nn.TransformerDecoderLayer(
+        d_model=D, nhead=H, dim_feedforward=FFN, dropout=0.0,
+        batch_first=True)
+    layer.eval()
+    return layer
+
+
+def test_decoder_layer_numerical_parity(torch_layer):
+    """Converted torch nn.TransformerDecoderLayer reproduces outputs to 1e-5
+    — validates attention layout, post-norm order, masks, relu FFN, LN eps."""
+    sd = {f"decoder.layers.0.{k}": v for k, v in
+          torch_layer.state_dict().items()}
+    used = set()
+    params = convert.decoder_layer_params_from_torch(sd, "decoder.layers.0",
+                                                     used)
+    assert all(k in used or True for k in sd)
+
+    b, lq, lm = 2, 5, 3
+    rng = np.random.default_rng(0)
+    tgt = rng.normal(size=(b, lq, D)).astype(np.float32)
+    mem = rng.normal(size=(b, lm, D)).astype(np.float32)
+    pad = np.zeros((b, lq), bool)
+    pad[1, 3:] = True  # padded tail in row 1
+
+    causal = torch.triu(torch.ones(lq, lq), diagonal=1).bool()
+    with torch.no_grad():
+        want = torch_layer(torch.tensor(tgt), torch.tensor(mem),
+                           tgt_mask=causal,
+                           tgt_key_padding_mask=torch.tensor(pad),
+                           tgt_is_causal=True).numpy()
+
+    model = TransformerDecoderLayer(D, H, FFN, dropout=0.0)
+    with jax.default_matmul_precision("highest"):
+        got = model.apply({"params": params}, jnp.asarray(tgt),
+                          jnp.asarray(mem),
+                          tgt_kv_mask=jnp.asarray(~pad))
+    # rows whose queries are fully defined must match exactly; padded-query
+    # rows differ by construction (torch still computes them)
+    np.testing.assert_allclose(np.asarray(got)[:, :3], want[:, :3],
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(got)[0], want[0],
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_full_student_decoder_parity(torch_layer):
+    """Reference forward_decoder semantics end-to-end: embedding + PE +
+    divide-by-sqrt(d) + 1-layer decoder + vocab head (model.py:135-154)."""
+    vocab = 97
+    torch.manual_seed(1)
+    embed = torch.nn.Embedding(vocab, D)
+    out_linear = torch.nn.Linear(D, vocab)
+    embed.eval(), out_linear.eval()
+
+    y = np.array([[5, 7, 11, 0], [3, 2, 0, 0]], np.int64)
+    mem = np.random.default_rng(1).normal(size=(2, 3, D)).astype(np.float32)
+
+    # torch replica of reference forward_decoder (model.py:135-154)
+    from rtvc_tpu.models.layers import sinusoidal_position_encoding
+    pe = torch.tensor(sinusoidal_position_encoding(500, D))
+    with torch.no_grad():
+        emb = embed(torch.tensor(y))
+        emb = emb + pe[: y.shape[1]][None]
+        emb = emb / torch.sqrt(torch.tensor(float(D)))
+        causal = torch.triu(torch.ones(4, 4), diagonal=1).bool()
+        pad = torch.tensor(y == 0)
+        dec = torch_layer(emb, torch.tensor(mem), tgt_mask=causal,
+                          tgt_key_padding_mask=pad, tgt_is_causal=True)
+        want = out_linear(dec).numpy()
+
+    # convert into a partial student params tree (no encoder needed)
+    used = set()
+    sd = {f"decoder.layers.0.{k}": v for k, v in
+          torch_layer.state_dict().items()}
+    params = {
+        "decoder_layer_0": convert.decoder_layer_params_from_torch(
+            sd, "decoder.layers.0", used),
+        "embed": {"embedding": embed.weight.detach().numpy()},
+        "linear": {"kernel": out_linear.weight.detach().numpy().T,
+                   "bias": out_linear.bias.detach().numpy()},
+    }
+    student = tiny_student(num_decoder_layers=1, vocab_size=vocab)
+    with jax.default_matmul_precision("highest"):
+        got = student.apply(
+            {"params": params}, jnp.asarray(y.astype(np.int32)),
+            jnp.asarray(mem),
+            method=lambda m, y_, mm: m.forward_decoder(y_, mm))
+    # compare non-padded positions
+    mask = y != 0
+    np.testing.assert_allclose(np.asarray(got)[mask], want[mask],
+                               atol=3e-5, rtol=3e-5)
+
+
+def _fake_tinyvit_sd(cfg: TinyViTConfig, input_size: int = 64):
+    """Synthetic timm-style state dict with the expected names/shapes.
+
+    attention_biases are sized by the EFFECTIVE window (min(window, fmap)) —
+    at 224 the configured windows apply; at the 64px test resolution the
+    late-stage maps are smaller than the window.
+    """
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+    fmap_sizes = [input_size // 4 // (2 ** s) for s in range(4)]
+
+    def convbn(prefix, cin, cout, k, groups=1):
+        sd[f"{prefix}.conv.weight"] = torch.randn(
+            cout, cin // groups, k, k, generator=g) * 0.05
+        sd[f"{prefix}.bn.weight"] = torch.rand(cout, generator=g) + 0.5
+        sd[f"{prefix}.bn.bias"] = torch.randn(cout, generator=g) * 0.05
+        sd[f"{prefix}.bn.running_mean"] = torch.randn(cout, generator=g) * 0.05
+        sd[f"{prefix}.bn.running_var"] = torch.rand(cout, generator=g) + 0.5
+
+    def linear(prefix, cin, cout):
+        sd[f"{prefix}.weight"] = torch.randn(cout, cin, generator=g) * 0.05
+        sd[f"{prefix}.bias"] = torch.randn(cout, generator=g) * 0.05
+
+    def norm(prefix, c):
+        sd[f"{prefix}.weight"] = torch.rand(c, generator=g) + 0.5
+        sd[f"{prefix}.bias"] = torch.randn(c, generator=g) * 0.05
+
+    dims, depths, heads, wins = (cfg.embed_dims, cfg.depths, cfg.num_heads,
+                                 cfg.window_sizes)
+    convbn("patch_embed.conv1", 3, dims[0] // 2, 3)
+    convbn("patch_embed.conv2", dims[0] // 2, dims[0], 3)
+    hidden0 = int(dims[0] * cfg.mbconv_expand_ratio)
+    for d in range(depths[0]):
+        convbn(f"stages.0.blocks.{d}.conv1", dims[0], hidden0, 1)
+        convbn(f"stages.0.blocks.{d}.conv2", hidden0, hidden0, 3,
+               groups=hidden0)
+        convbn(f"stages.0.blocks.{d}.conv3", hidden0, dims[0], 1)
+    for s in range(1, 4):
+        convbn(f"stages.{s}.downsample.conv1", dims[s - 1], dims[s], 1)
+        convbn(f"stages.{s}.downsample.conv2", dims[s], dims[s], 3,
+               groups=dims[s])
+        convbn(f"stages.{s}.downsample.conv3", dims[s], dims[s], 1)
+        key_dim = dims[s] // heads[s]
+        from rtvc_tpu.models.tinyvit import _attention_bias_idxs
+        win_eff = min(wins[s], fmap_sizes[s])
+        n_off = int(_attention_bias_idxs(win_eff).max()) + 1
+        for d in range(depths[s]):
+            base = f"stages.{s}.blocks.{d}"
+            norm(f"{base}.attn.norm", dims[s])
+            linear(f"{base}.attn.qkv", dims[s], heads[s] * key_dim * 3)
+            linear(f"{base}.attn.proj", heads[s] * key_dim, dims[s])
+            sd[f"{base}.attn.attention_biases"] = torch.randn(
+                heads[s], n_off, generator=g) * 0.05
+            convbn(f"{base}.local_conv", dims[s], dims[s], 3, groups=dims[s])
+            norm(f"{base}.mlp.norm", dims[s])
+            linear(f"{base}.mlp.fc1", dims[s], int(dims[s] * cfg.mlp_ratio))
+            linear(f"{base}.mlp.fc2", int(dims[s] * cfg.mlp_ratio), dims[s])
+    return sd
+
+
+def test_tinyvit_conversion_shapes_and_runs():
+    cfg = TINY_ENC
+    sd = _fake_tinyvit_sd(cfg)
+    params, stats, unused = convert.tinyvit_params_from_torch(
+        sd, depths=cfg.depths)
+    assert unused == []
+
+    model = TinyViT(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    ref_vars = model.init(jax.random.PRNGKey(0), x)
+    # converted tree must match the model's own structure exactly
+    ref_shapes = jax.tree.map(lambda a: a.shape, ref_vars["params"])
+    got_shapes = jax.tree.map(lambda a: a.shape, params)
+    assert ref_shapes == got_shapes
+    ref_stats = jax.tree.map(lambda a: a.shape, ref_vars["batch_stats"])
+    got_stats = jax.tree.map(lambda a: a.shape, stats)
+    assert ref_stats == got_stats
+
+    fmaps = model.apply({"params": params, "batch_stats": stats}, x)
+    assert fmaps[-1].shape == (1, 2, 2, cfg.embed_dims[-1])
+    assert all(np.isfinite(np.asarray(f)).all() for f in fmaps)
+
+
+def test_git_teacher_conversion_structure():
+    from rtvc_tpu.models.git_teacher import GITTeacher
+    from test_models import TINY_GIT
+
+    model = GITTeacher(TINY_GIT)
+    frames = jnp.zeros((1, 2, 28, 28, 3))
+    caps = jnp.array([[101, 5]], jnp.int32)
+    ref = model.init(jax.random.PRNGKey(0), frames, caps)["params"]
+
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+
+    def linear(prefix, cin, cout):
+        sd[f"{prefix}.weight"] = torch.randn(cout, cin, generator=g) * 0.05
+        sd[f"{prefix}.bias"] = torch.randn(cout, generator=g) * 0.05
+
+    def norm(prefix, c):
+        sd[f"{prefix}.weight"] = torch.rand(c, generator=g) + 0.5
+        sd[f"{prefix}.bias"] = torch.randn(c, generator=g) * 0.05
+
+    c = TINY_GIT
+    w = c.clip.width
+    sd["image_encoder.conv1.weight"] = torch.randn(
+        w, 3, c.clip.patch_size, c.clip.patch_size, generator=g) * 0.05
+    sd["image_encoder.class_embedding"] = torch.randn(w, generator=g) * 0.05
+    grid = c.clip.image_size // c.clip.patch_size
+    sd["image_encoder.positional_embedding"] = torch.randn(
+        grid * grid + 1, w, generator=g) * 0.05
+    norm("image_encoder.ln_pre", w)
+    norm("image_encoder.ln_post", w)
+    for i in range(c.clip.layers):
+        base = f"image_encoder.transformer.resblocks.{i}"
+        norm(f"{base}.ln_1", w)
+        norm(f"{base}.ln_2", w)
+        sd[f"{base}.attn.in_proj_weight"] = torch.randn(3 * w, w,
+                                                        generator=g) * 0.05
+        sd[f"{base}.attn.in_proj_bias"] = torch.randn(3 * w, generator=g) * 0.05
+        linear(f"{base}.attn.out_proj", w, w)
+        linear(f"{base}.mlp.c_fc", w, 4 * w)
+        linear(f"{base}.mlp.c_proj", 4 * w, w)
+    for i in range(c.num_image_with_embedding):
+        sd[f"img_temperal_embedding.{i}"] = torch.randn(
+            1, 1, c.visual_feature_size, generator=g) * 0.05
+    linear("textual.visual_projection.0", c.visual_feature_size, c.hidden_size)
+    norm("textual.visual_projection.1", c.hidden_size)
+    sd["textual.embedding.words.weight"] = torch.randn(
+        c.vocab_size, c.hidden_size, generator=g) * 0.05
+    sd["textual.embedding.positions.weight"] = torch.randn(
+        c.max_caption_length, c.hidden_size, generator=g) * 0.05
+    norm("textual.embedding.layer_norm", c.hidden_size)
+    for i in range(c.num_layers):
+        base = f"textual.transformer.encoder.layer.{i}"
+        linear(f"{base}.attention.self.query", c.hidden_size, c.hidden_size)
+        linear(f"{base}.attention.self.key", c.hidden_size, c.hidden_size)
+        linear(f"{base}.attention.self.value", c.hidden_size, c.hidden_size)
+        linear(f"{base}.attention.output.dense", c.hidden_size, c.hidden_size)
+        norm(f"{base}.attention.output.LayerNorm", c.hidden_size)
+        linear(f"{base}.intermediate.dense", c.hidden_size,
+               c.feedforward_size)
+        linear(f"{base}.output.dense", c.feedforward_size, c.hidden_size)
+        norm(f"{base}.output.LayerNorm", c.hidden_size)
+    linear("textual.output", c.hidden_size, c.vocab_size)
+
+    params, unused = convert.git_teacher_params_from_torch(
+        sd, num_layers=c.num_layers, clip_layers=c.clip.layers,
+        num_frames=c.num_image_with_embedding)
+    assert unused == []
+    ref_shapes = jax.tree.map(lambda a: a.shape, ref)
+    got_shapes = jax.tree.map(lambda a: np.asarray(a).shape, params)
+    assert ref_shapes == got_shapes
+    logits = model.apply({"params": params}, frames, caps)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_student_conversion_with_lightning_prefix(torch_layer):
+    cfg = TINY_ENC
+    enc_sd = _fake_tinyvit_sd(cfg)
+    sd = {f"student.image_encoder.model.{k}": v for k, v in enc_sd.items()}
+    for k, v in torch_layer.state_dict().items():
+        sd[f"student.decoder.layers.0.{k}"] = v
+    g = torch.Generator().manual_seed(2)
+    sd["student.embed.weight"] = torch.randn(97, D, generator=g)
+    sd["student.linear.weight"] = torch.randn(97, D, generator=g)
+    sd["student.linear.bias"] = torch.randn(97, generator=g)
+
+    params, stats, unused = convert.student_params_from_torch(
+        sd, num_decoder_layers=1, encoder_depths=cfg.depths)
+    assert unused == []
+
+    student = tiny_student(num_decoder_layers=1, vocab_size=97)
+    frames = jnp.zeros((1, 2, 64, 64, 3))
+    y = jnp.array([[5, 7]], jnp.int32)  # ids within the 97-word test vocab
+    out = student.apply({"params": params, "batch_stats": stats}, frames, y)
+    assert out[-1].shape == (1, 2, 97)
+    assert np.isfinite(np.asarray(out[-1])).all()
