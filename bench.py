@@ -1,0 +1,136 @@
+"""End-to-end captioning benchmark on the flagship student model.
+
+Measures the real-time pipeline the reference targets (SURVEY.md §6,
+BASELINE.md): one 6-frame 224px clip → fused preprocessing → TinyViT-21M
+encode → KV-cache greedy decode (max_len 25, the webcam setting,
+reference real_time_inference.py:58) on one chip, batch 1 (the streaming
+case).
+
+Reported metric: ``e2e_captioning_fps`` — the maximum camera frame rate the
+streaming loop sustains. The loop keeps every 3rd camera frame and captions
+per 6-frame window (reference :44-58), i.e. one caption covers 18 source
+frames, so sustainable fps = 18 / caption_latency_p50. The driver-set
+target is >= 30 fps (vs_baseline = fps / 30).
+
+Secondary numbers (stderr): p50/p90 caption latency, clips/sec at batch 1
+and batch 8 (training-shaped throughput).
+
+Run: ``python bench.py`` (uses the default backend — the real TPU chip under
+the driver; CPU works for smoke runs). One JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rtvc_tpu.decode import student_greedy
+    from rtvc_tpu.models.student import StudentCandidateV1
+    from rtvc_tpu.models.tinyvit import tiny_vit_21m_config
+    from rtvc_tpu.ops.preprocess import clip_preprocess
+
+    backend = jax.default_backend()
+    log(f"backend: {backend}, devices: {jax.devices()}")
+
+    compute_dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+    student = StudentCandidateV1(
+        encoder_config=tiny_vit_21m_config(dtype=compute_dtype),
+        dtype=compute_dtype)
+
+    rng = jax.random.PRNGKey(0)
+    init_frames = jnp.zeros((1, 6, 224, 224, 3), jnp.float32)
+    init_caps = jnp.zeros((1, 40), jnp.int32)
+    t0 = time.perf_counter()
+    # jit the init: unjitted flax init dispatches thousands of tiny ops
+    # individually (≈300s over the TPU tunnel); compiled it is one program
+    variables = jax.jit(student.init)(rng, init_frames, init_caps)
+    jax.block_until_ready(variables)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(variables["params"]))
+    log(f"student params: {n_params / 1e6:.1f}M "
+        f"(init {time.perf_counter() - t0:.1f}s)")
+    variables = jax.device_put(variables)
+
+    max_len = 25  # webcam setting (reference real_time_inference.py:58)
+
+    def caption_clip(variables, raw_frames):
+        proc = clip_preprocess(raw_frames)             # [6, 224, 224, 3]
+        return student_greedy(student, variables, proc[None], max_len=max_len)
+
+    step = jax.jit(caption_clip)
+
+    host_rng = np.random.default_rng(0)
+    clip_u8 = host_rng.integers(0, 255, size=(6, 480, 640, 3), dtype=np.uint8)
+    clip_dev = jnp.asarray(clip_u8)
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    np.asarray(step(variables, clip_dev))
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    # Greedy decode on random weights can stop after 1 step if argmax emits
+    # SEP immediately — measure with the full max_len worst case by checking
+    # how many tokens were produced, and report it.
+    tokens = np.asarray(step(variables, clip_dev))
+    produced = int((tokens != 0).sum(axis=1)[0])
+    log(f"tokens produced per caption: {produced} (max {max_len + 1})")
+
+    lat = []
+    for i in range(30):
+        clip = jnp.asarray(host_rng.integers(0, 255, size=(6, 480, 640, 3),
+                                             dtype=np.uint8))
+        t0 = time.perf_counter()
+        np.asarray(step(variables, clip))
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+    p50, p90 = float(np.percentile(lat, 50)), float(np.percentile(lat, 90))
+    log(f"caption latency p50={p50 * 1e3:.1f}ms p90={p90 * 1e3:.1f}ms")
+
+    # batched throughput (training/eval shape): clips/sec at batch 8
+    batch = jnp.asarray(host_rng.integers(
+        0, 255, size=(8, 6, 224, 224, 3), dtype=np.uint8))
+
+    def batched(variables, frames_u8):
+        b, f = frames_u8.shape[:2]
+        flat = frames_u8.reshape((-1,) + frames_u8.shape[2:])
+        proc = clip_preprocess(flat).reshape((b, f, 224, 224, 3))
+        return student_greedy(student, variables, proc, max_len=max_len)
+
+    bstep = jax.jit(batched)
+    np.asarray(bstep(variables, batch))
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        np.asarray(bstep(variables, batch))
+    dt = (time.perf_counter() - t0) / reps
+    log(f"batch-8 captioning: {8 / dt:.1f} clips/s ({dt * 1e3:.1f}ms/batch)")
+
+    # one caption covers 18 source frames (keep every 3rd x 6-frame window)
+    fps = 18.0 / p50
+    result = {
+        "metric": "e2e_captioning_fps",
+        "value": round(fps, 2),
+        "unit": "sustained source fps (18 frames/caption, p50 latency)",
+        "vs_baseline": round(fps / 30.0, 3),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,3 +38,22 @@ import os as _os
 # Zero-egress environment: make sure nothing tries to reach huggingface.co.
 _os.environ.setdefault("HF_HUB_OFFLINE", "1")
 _os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: the flagship captioning program
+    takes minutes to compile cold on TPU; cached reloads are ~seconds."""
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "RTVC_JAX_CACHE",
+            _os.path.expanduser("~/.cache/rtvc_jax_cache"))
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # never let cache plumbing break imports
+        pass
+
+
+_enable_compilation_cache()

@@ -126,7 +126,7 @@ def run_realtime(config: Config = default_cfg, source: Any = 0,
         import jax.numpy as jnp
         dummy_f = jnp.zeros((1, WINDOW, 224, 224, 3))
         dummy_y = jnp.array([[student.cls_token_id, 5]], jnp.int32)
-        variables = student.init(rng, dummy_f, dummy_y)
+        variables = jax.jit(student.init)(rng, dummy_f, dummy_y)
 
     cap = cv2.VideoCapture(source)
     if not cap.isOpened():

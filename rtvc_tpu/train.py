@@ -88,9 +88,12 @@ class PlateauScheduler:
 def create_train_state(student: StudentCandidateV1, rng: jax.Array,
                        batch_example: Dict[str, jnp.ndarray],
                        tx: optax.GradientTransformation) -> TrainState:
-    variables = student.init(rng, batch_example["frames"],
-                             batch_example["caption"],
-                             method=StudentCandidateV1.full_init)
+    # jitted init: one compiled program instead of thousands of small
+    # dispatches (300s → 26s for the full-size student on the TPU tunnel)
+    init_fn = jax.jit(functools.partial(student.init,
+                                        method=StudentCandidateV1.full_init))
+    variables = init_fn(rng, batch_example["frames"],
+                        batch_example["caption"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(params=params, batch_stats=batch_stats,
