@@ -320,6 +320,36 @@ def teacher_beam(model, variables, frames: jnp.ndarray, *,
                              logits=logits, num_steps=cur_len - 1)
 
 
+def teacher_generate(model, variables, frames: jnp.ndarray, tokenizer, *,
+                     beam_size: int = 4, max_steps: int = 15,
+                     length_penalty: float = 0.6):
+    """High-level teacher generation (reference
+    ``GenerativeImageTextTeacher.forward``, model.py:762-793): beam-search
+    captions plus the beam-consensus full-vocab logit rows per generated
+    word. Returns a list of per-sample dicts with 'predictions', 'cap' and
+    'output' keys like the reference — but computed as ONE batched XLA
+    program instead of a per-sample Python loop with host syncs."""
+    import numpy as np
+
+    out = teacher_beam(model, variables, frames, beam_size=beam_size,
+                       max_steps=max_steps, length_penalty=length_penalty)
+    preds = np.asarray(out.predictions)
+    caps = [tokenizer.decode(p, skip_special_tokens=True) for p in preds]
+    n_words = jnp.asarray([min(len(c.split(" ")), int(out.num_steps))
+                           for c in caps], jnp.int32)
+    teacher_logits, valid = teacher_kd_targets(out, n_words)
+    results = []
+    for i, cap in enumerate(caps):
+        n = int(n_words[i])
+        results.append({
+            "predictions": preds[i],
+            "cap": cap,
+            "output": jnp.asarray(teacher_logits[i, :n])[None],
+            "logprobs": float(out.logprobs[i]),
+        })
+    return results
+
+
 def teacher_kd_targets(out: TeacherBeamOutput, captions_text_len: jnp.ndarray
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam-consensus teacher distributions (reference model.py:762-793).

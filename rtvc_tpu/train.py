@@ -85,6 +85,21 @@ class PlateauScheduler:
         return self.lr
 
 
+def plot_loss(values, label: str, out_path: str) -> None:
+    """Loss-curve plot (reference train.py:28-39). Headless-safe (Agg)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    ax.plot(range(len(values)), values, label=label)
+    ax.set_xlabel("Epoch")
+    ax.set_ylabel(label)
+    ax.legend()
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+
+
 def create_train_state(student: StudentCandidateV1, rng: jax.Array,
                        batch_example: Dict[str, jnp.ndarray],
                        tx: optax.GradientTransformation) -> TrainState:

@@ -19,26 +19,28 @@ from rtvc_tpu.train import (PlateauScheduler, TrainState, create_train_state,
 ENC = TinyViTConfig(embed_dims=(8, 16, 24, 32), depths=(1, 1, 1, 1),
                     num_heads=(1, 2, 2, 2), window_sizes=(4, 4, 4, 4),
                     drop_path_rate=0.0)
-CLIP224 = CLIPViTConfig(image_size=224, patch_size=14, width=32, layers=2,
-                        heads=2)
-GIT224 = GITConfig(vocab_size=173, hidden_size=16, num_layers=2,
-                   attention_heads=2, feedforward_size=32,
-                   visual_feature_size=32, max_caption_length=64,
-                   num_image_with_embedding=2, clip=CLIP224)
+# 64px test frames satisfy both towers (TinyViT /32, CLIP patch 16 → 4x4
+# grid) — keeps single-core CPU compile times tractable
+CLIP64 = CLIPViTConfig(image_size=64, patch_size=16, width=32, layers=2,
+                       heads=2)
+GIT64 = GITConfig(vocab_size=173, hidden_size=16, num_layers=2,
+                  attention_heads=2, feedforward_size=32,
+                  visual_feature_size=32, max_caption_length=64,
+                  num_image_with_embedding=2, clip=CLIP64)
 
 
 def tiny_pair():
     student = StudentCandidateV1(
         d_model=32, n_head=4, d_ffn=64, dropout=0.1, num_decoder_layers=2,
         vocab_size=173, max_pos_len=64, encoder_config=ENC,
-        teacher_visual_dim=32, teacher_num_tokens=2 * 257, teacher_hidden=16)
-    teacher = GITTeacher(GIT224)
+        teacher_visual_dim=32, teacher_num_tokens=2 * 17, teacher_hidden=16)
+    teacher = GITTeacher(GIT64)
     return student, teacher
 
 
 def synth_batch(b=8, f=2, t=6, vocab=173, seed=0):
     rng = np.random.default_rng(seed)
-    frames = rng.normal(size=(b, f, 224, 224, 3)).astype(np.float32)
+    frames = rng.normal(size=(b, f, 64, 64, 3)).astype(np.float32)
     caps = np.zeros((b, t), np.int32)
     caps[:, 0] = 101
     lens = rng.integers(2, t, size=b)
