@@ -5,10 +5,15 @@ Times jitted prefixes of the encoder (patch embed, +stage0, +stage1, ...)
 to locate where the 6-frame encode budget goes.
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# repo root on sys.path (do NOT use PYTHONPATH: any value of it breaks the
+# sandbox's axon TPU plugin registration)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
