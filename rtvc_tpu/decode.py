@@ -172,17 +172,57 @@ class TeacherBeamOutput(NamedTuple):
     num_steps: jnp.ndarray     # [] number of decode iterations actually run
 
 
+def top_k_top_p_filtering(logits: jnp.ndarray, top_k: int = 0,
+                          top_p: float = 0.0,
+                          min_tokens_to_keep: int = 2) -> jnp.ndarray:
+    """HF-style nucleus/top-k filtering (used by the reference's sampling
+    beam path, model.py:537): kept logits pass through, the rest → -inf."""
+    filtered = logits
+    if top_k and top_k > 0:
+        k = max(top_k, min_tokens_to_keep)
+        kth = jnp.sort(filtered, axis=-1)[..., -k][..., None]
+        filtered = jnp.where(filtered < kth, -jnp.inf, filtered)
+    if top_p and top_p > 0.0:
+        sorted_logits = jnp.sort(filtered, axis=-1)[..., ::-1]
+        cum_probs = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+        # shift right: always keep the first token above the threshold
+        remove_sorted = cum_probs > top_p
+        remove_sorted = jnp.concatenate(
+            [jnp.zeros_like(remove_sorted[..., :1]), remove_sorted[..., :-1]],
+            axis=-1)
+        remove_sorted = remove_sorted.at[..., :min_tokens_to_keep].set(False)
+        # threshold value = smallest kept logit
+        kept_min = jnp.min(jnp.where(remove_sorted, jnp.inf, sorted_logits),
+                           axis=-1, keepdims=True)
+        filtered = jnp.where(filtered < kept_min, -jnp.inf, filtered)
+    return filtered
+
+
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("beam_size", "max_steps",
                                     "per_node_beam_size", "length_penalty",
-                                    "repetition_penalty"))
+                                    "repetition_penalty", "do_sample",
+                                    "top_k", "top_p", "temperature"))
 def teacher_beam(model, variables, frames: jnp.ndarray, *,
                  beam_size: int = 4, max_steps: int = 15,
                  per_node_beam_size: int = 2, length_penalty: float = 0.6,
-                 repetition_penalty: float = 1.0) -> TeacherBeamOutput:
-    """GIT beam search (reference model.py:465-678) as one XLA program."""
+                 repetition_penalty: float = 1.0, do_sample: bool = False,
+                 top_k: int = 0, top_p: float = 0.0, temperature: float = 1.0,
+                 rng: jax.Array | None = None) -> TeacherBeamOutput:
+    """GIT beam search (reference model.py:465-678) as one XLA program.
+
+    ``do_sample`` enables the reference's sampled-beam path
+    (model.py:532-554): temperature → top-k/top-p filtering → sample
+    ``per_node_beam_size`` words per beam without replacement (Gumbel
+    top-k). Divergence note: the reference's sampling path mis-attributes
+    source beams when per_node_beam_size != beam_size (its tiled
+    ``beam_indices`` don't match the reshape grouping); here candidates
+    carry their true source beam.
+    """
     nb = beam_size
     pnbs = per_node_beam_size
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     # GIT wires sos/eos from the BERT tokenizer (CLS=101 / SEP=102,
     # reference model.py:359-362); eos doubles as the pad id (model.py:487).
     sos, eos = 101, 102
@@ -237,12 +277,28 @@ def teacher_beam(model, variables, frames: jnp.ndarray, *,
                                   scores_tok / repetition_penalty)
             scores_tok = jnp.where(present, penalized, scores_tok)
 
-        logp = jax.nn.log_softmax(scores_tok, axis=-1)
-        cand = (logp + beam_scores[:, None]).reshape(b, nb * vocab)
-        next_scores, next_words = jax.lax.top_k(cand, pnbs * nb)  # [B, pnbs*nb]
-
-        word_id = next_words % vocab
-        beam_id = next_words // vocab
+        if do_sample:
+            # sampled-beam path (model.py:532-554): per-beam Gumbel top-k =
+            # multinomial without replacement over the filtered distribution
+            s = scores_tok / temperature if temperature != 1.0 else scores_tok
+            s = top_k_top_p_filtering(s, top_k=top_k, top_p=top_p)
+            step_rng = jax.random.fold_in(rng, cur_len)
+            gumbel = jax.random.gumbel(step_rng, s.shape)
+            perturbed = jnp.where(jnp.isfinite(s), s + gumbel, -jnp.inf)
+            _, samp = jax.lax.top_k(perturbed, pnbs)       # [B*nb, pnbs]
+            logp_row = jax.nn.log_softmax(s, axis=-1)
+            samp_logp = jnp.take_along_axis(logp_row, samp, axis=-1)
+            samp_scores = samp_logp + beam_scores[:, None]  # [B*nb, pnbs]
+            next_scores = samp_scores.reshape(b, nb * pnbs)
+            word_id = samp.reshape(b, nb * pnbs)
+            beam_id = jnp.repeat(jnp.arange(nb), pnbs)[None, :]
+            beam_id = jnp.broadcast_to(beam_id, (b, nb * pnbs))
+        else:
+            logp = jax.nn.log_softmax(scores_tok, axis=-1)
+            cand = (logp + beam_scores[:, None]).reshape(b, nb * vocab)
+            next_scores, next_words = jax.lax.top_k(cand, pnbs * nb)
+            word_id = next_words % vocab
+            beam_id = next_words // vocab
         is_eos = word_id == eos
 
         # done check BEFORE consuming this step's candidates (model.py:578-581)

@@ -162,3 +162,49 @@ def test_teacher_beam_prefers_likely_tokens():
     out4 = decode.teacher_beam(model, variables, frames, beam_size=4,
                                max_steps=7)
     assert float(out4.logprobs[0]) >= float(out1.logprobs[0]) - 1e-5
+
+
+def test_teacher_beam_sampling_path():
+    """do_sample=True (reference model.py:532-554): runs, differs across
+    seeds, respects top_k filtering."""
+    model = GITTeacher(TINY_GIT)
+    frames = jax.random.normal(jax.random.PRNGKey(6), (1, 2, 28, 28, 3))
+    caps = jnp.array([[101, 5, 102, 0]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), frames, caps)
+    out_a = decode.teacher_beam(model, variables, frames, beam_size=2,
+                                max_steps=6, do_sample=True, top_k=20,
+                                temperature=1.5, rng=jax.random.PRNGKey(1))
+    out_b = decode.teacher_beam(model, variables, frames, beam_size=2,
+                                max_steps=6, do_sample=True, top_k=20,
+                                temperature=1.5, rng=jax.random.PRNGKey(2))
+    assert out_a.predictions.shape == (1, 6)
+    assert np.all(np.asarray(out_a.predictions[:, 0]) == 101)
+    # different seeds should (overwhelmingly) sample different sequences
+    assert not np.array_equal(np.asarray(out_a.predictions),
+                              np.asarray(out_b.predictions))
+
+
+def test_top_k_top_p_filtering():
+    logits = jnp.asarray(np.log([[0.5, 0.25, 0.15, 0.07, 0.03]]), jnp.float32)
+    k2 = decode.top_k_top_p_filtering(logits, top_k=2)
+    assert np.isfinite(np.asarray(k2[0, :2])).all()
+    assert np.all(np.asarray(k2[0, 2:]) == -np.inf)
+    p = decode.top_k_top_p_filtering(logits, top_p=0.6)
+    # 0.5 + 0.25 > 0.6 after first two -> keep exactly the top two
+    assert np.isfinite(np.asarray(p[0, :2])).all()
+    assert np.all(np.asarray(p[0, 2:]) == -np.inf)
+
+
+def test_teacher_generate_api():
+    from rtvc_tpu.tokenization import BertWordPieceTokenizer
+    model = GITTeacher(TINY_GIT)
+    frames = jax.random.normal(jax.random.PRNGKey(7), (2, 2, 28, 28, 3))
+    caps = jnp.array([[101, 5, 102, 0]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), frames[:1], caps)
+    tok = BertWordPieceTokenizer()
+    results = decode.teacher_generate(model, variables, frames, tok,
+                                      beam_size=2, max_steps=6)
+    assert len(results) == 2
+    for r in results:
+        assert set(r) >= {"predictions", "cap", "output", "logprobs"}
+        assert r["output"].ndim == 3  # [1, n, V] like the reference

@@ -163,3 +163,27 @@ def test_full_train_orchestration(tmp_path):
     assert any(p.name.startswith("ckpt") for p in run_dir.iterdir())
     text = (run_dir / "_results_and_metrics.txt").read_text()
     assert "Validation Results" in text and "BLEU@4" in text
+
+
+def test_checkpoint_resume_roundtrip(tmp_path, setup):
+    """Full train-state save/restore → training continues identically."""
+    from rtvc_tpu.data.io import restore_checkpoint, save_checkpoint
+
+    student, teacher, batch, tx, state, tvars = setup
+    step = make_train_step(student, teacher, tx, donate=False)
+    state1, _ = step(state, tvars, batch, jax.random.PRNGKey(9))
+    save_checkpoint(str(tmp_path / "ck"), {
+        "params": state1.params, "batch_stats": state1.batch_stats,
+        "opt_state": state1.opt_state, "step": state1.step})
+    tree = restore_checkpoint(str(tmp_path / "ck"),
+                              target={"params": state1.params,
+                                      "batch_stats": state1.batch_stats,
+                                      "opt_state": state1.opt_state,
+                                      "step": state1.step})
+    resumed = TrainState(params=tree["params"],
+                         batch_stats=tree["batch_stats"],
+                         opt_state=tree["opt_state"], step=tree["step"])
+    assert int(resumed.step) == 1
+    _, m_a = step(state1, tvars, batch, jax.random.PRNGKey(10))
+    _, m_b = step(resumed, tvars, batch, jax.random.PRNGKey(10))
+    assert abs(float(m_a["total"]) - float(m_b["total"])) < 1e-5
