@@ -111,7 +111,10 @@ class DeviceLoader:
                  shuffle: bool = False, seed: int = 0,
                  max_text_len: int = 40, mesh=None,
                  preprocess: bool = True, prefetch_depth: int = 2,
-                 drop_last: bool = True):
+                 drop_last: bool = False):
+        # drop_last defaults False like torch DataLoader (the reference's
+        # loaders kept tail batches); pass True for jit-hot training loops
+        # to avoid a recompile on the ragged final batch.
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle

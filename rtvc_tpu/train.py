@@ -346,7 +346,7 @@ def main(argv: Optional[List[str]] = None) -> None:
                             if split != "train" else None)
         splits[split] = DeviceLoader(
             ds, config.train.batch_size, shuffle=(split == "train"),
-            seed=config.seed)
+            seed=config.seed, drop_last=(split == "train"))
 
     tokenizer = BertWordPieceTokenizer()
     run_name = time.strftime("%y%m%d_%H%M%S")
