@@ -88,9 +88,11 @@ def main() -> None:
         return np.stack([cv2.resize(f, size, interpolation=cv2.INTER_AREA)
                          for f in clip_u8])
 
+    # DISTINCT clip per iteration: the tunnel runtime can serve repeated
+    # identical dispatches from cache, which would inflate throughput
     host_rng = np.random.default_rng(0)
     raw_clips = [host_rng.integers(0, 255, size=(6, 480, 640, 3),
-                                   dtype=np.uint8) for _ in range(10)]
+                                   dtype=np.uint8) for _ in range(40)]
 
     # warmup / compile
     t0 = time.perf_counter()
@@ -106,7 +108,7 @@ def main() -> None:
     # --- single-in-flight latency (camera window → caption text) ----------
     lat = []
     for i in range(30):
-        clip = raw_clips[i % 10]
+        clip = raw_clips[i]
         t0 = time.perf_counter()
         np.asarray(step(variables, jnp.asarray(host_resize(clip))))
         lat.append(time.perf_counter() - t0)
@@ -119,16 +121,18 @@ def main() -> None:
     t0 = time.perf_counter()
     outs = []
     for i in range(40):
-        outs.append(step(variables, jnp.asarray(shrunk[i % 10])))
-    jax.block_until_ready(outs)
+        outs.append(step(variables, jnp.asarray(shrunk[i])))
+    # fetch the LAST output's value: block_until_ready does not reliably
+    # block through the axon tunnel, but the device executes programs in
+    # submission order, so the last result completing proves all 40 did.
+    # (Per-caption text fetches overlap the next window's compute in the
+    # real-time loop, so they don't serialize steady-state throughput.)
+    np.asarray(outs[-1])
     window_time = (time.perf_counter() - t0) / 40
     log(f"pipelined streaming: {window_time * 1e3:.1f} ms/window "
         f"({1 / window_time:.1f} windows/s)")
 
     # batched throughput (training/eval shape): clips/sec at batch 8
-    batch = jnp.asarray(host_rng.integers(
-        0, 255, size=(8, 6, 224, 224, 3), dtype=np.uint8))
-
     def batched(variables, frames_u8):
         b, f = frames_u8.shape[:2]
         flat = frames_u8.reshape((-1,) + frames_u8.shape[2:])
@@ -136,12 +140,14 @@ def main() -> None:
         return student_greedy(student, variables, proc, max_len=max_len)
 
     bstep = jax.jit(batched)
-    np.asarray(bstep(variables, batch))
+    batches = [jnp.asarray(host_rng.integers(
+        0, 255, size=(8, 6, 224, 224, 3), dtype=np.uint8))
+        for _ in range(6)]
+    np.asarray(bstep(variables, batches[0]))
     t0 = time.perf_counter()
-    reps = 10
-    for _ in range(reps):
-        np.asarray(bstep(variables, batch))
-    dt = (time.perf_counter() - t0) / reps
+    for bt in batches:  # distinct inputs; fetch each result
+        np.asarray(bstep(variables, bt))
+    dt = (time.perf_counter() - t0) / len(batches)
     log(f"batch-8 captioning: {8 / dt:.1f} clips/s ({dt * 1e3:.1f}ms/batch)")
 
     # One caption covers 18 source frames (keep every 3rd x 6-frame window).

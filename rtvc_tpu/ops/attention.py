@@ -252,6 +252,20 @@ def _on_tpu() -> bool:
         return False
 
 
+# Pallas pays off when the KV context is long enough that avoiding the HBM
+# round-trip of the [Lq, Lkv] score matrix beats the tile-padding overhead.
+# Profiling on v5e: at CLIP shapes (Lkv 257, D 64 → padded 384x128) the
+# kernel + its input pads cost ~45% of the teacher encode, while XLA wins;
+# at the joint text context (Lkv ~1582) the kernel is 1.5x faster than XLA.
+PALLAS_MIN_KV_LEN = 512
+
+
+def set_pallas_min_kv_len(value: int) -> None:
+    """Tune the pallas-vs-XLA dispatch threshold (tests/benchmarks)."""
+    global PALLAS_MIN_KV_LEN
+    PALLAS_MIN_KV_LEN = value
+
+
 def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                          causal: bool = False, prefix_len: int = 0,
                          kv_mask: Optional[jnp.ndarray] = None,
@@ -272,7 +286,8 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         scale = q.shape[-1] ** -0.5
     wants_dropout = dropout_rate > 0.0 and dropout_rng is not None
     if use_pallas is None:
-        use_pallas = _on_tpu() and not wants_dropout and bias is None
+        use_pallas = (_on_tpu() and not wants_dropout and bias is None
+                      and k.shape[2] >= PALLAS_MIN_KV_LEN)
     if use_pallas:
         return flash_attention(q, k, v, causal=causal, prefix_len=prefix_len,
                                kv_mask=kv_mask, scale=scale)
