@@ -28,6 +28,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.attention import multi_head_attention
+from ..ops.layernorm import FusedLayerNorm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,10 +76,10 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
+        h = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         x = x + CLIPAttention(self.width, self.heads, self.dtype,
                               name="attn")(h)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
+        h = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(h)
         h = quick_gelu(h)
         h = nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
@@ -120,7 +121,7 @@ class CLIPViT(nn.Module):
                                    (b, 1, cfg.width))
         x = jnp.concatenate([cls_tok, x], axis=1)
         x = x + pos_emb.astype(cfg.dtype)[None]
-        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_pre")(x)
+        x = FusedLayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_pre")(x)
 
         wanted = set(block_indices or [])
         taps: List[jnp.ndarray] = []
@@ -130,5 +131,5 @@ class CLIPViT(nn.Module):
             if i in wanted:
                 taps.append(x)
 
-        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_post")(x)
+        x = FusedLayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_post")(x)
         return x, taps

@@ -44,6 +44,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import multi_head_attention
+from ..ops.layernorm import FusedLayerNorm
 from .clip_vit import CLIPViT, CLIPViTConfig, clip_vit_l14_config
 
 Cache = Dict[str, jnp.ndarray]
@@ -78,10 +79,10 @@ class BertLayer(nn.Module):
         self.key = nn.Dense(self.hidden, dtype=self.dtype)
         self.value = nn.Dense(self.hidden, dtype=self.dtype)
         self.attn_out = nn.Dense(self.hidden, dtype=self.dtype)
-        self.attn_norm = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype)
+        self.attn_norm = FusedLayerNorm(epsilon=1e-12, dtype=self.dtype)
         self.inter = nn.Dense(self.ffn, dtype=self.dtype)
         self.out = nn.Dense(self.hidden, dtype=self.dtype)
-        self.out_norm = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype)
+        self.out_norm = FusedLayerNorm(epsilon=1e-12, dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
 
     def _heads(self, t: jnp.ndarray) -> jnp.ndarray:
@@ -150,16 +151,16 @@ class TextualHead(nn.Module):
         cfg = self.config
         self.visual_projection = nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
                                           name="visual_projection")
-        self.visual_ln = nn.LayerNorm(epsilon=1e-12, dtype=cfg.dtype,
-                                      name="visual_ln")
+        self.visual_ln = FusedLayerNorm(epsilon=1e-12, dtype=cfg.dtype,
+                                        name="visual_ln")
         self.word_embeddings = nn.Embed(cfg.vocab_size, cfg.hidden_size,
                                         dtype=cfg.dtype,
                                         name="word_embeddings")
         self.position_embeddings = nn.Embed(cfg.max_caption_length,
                                             cfg.hidden_size, dtype=cfg.dtype,
                                             name="position_embeddings")
-        self.emb_norm = nn.LayerNorm(epsilon=1e-12, dtype=cfg.dtype,
-                                     name="emb_norm")
+        self.emb_norm = FusedLayerNorm(epsilon=1e-12, dtype=cfg.dtype,
+                                       name="emb_norm")
         self.emb_drop = nn.Dropout(cfg.dropout)
         self.layers = [
             BertLayer(cfg.hidden_size, cfg.attention_heads,

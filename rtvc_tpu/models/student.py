@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import multi_head_attention
+from ..ops.layernorm import FusedLayerNorm
 from .layers import PositionalEncoding
 from .tinyvit import TinyViT, TinyViTConfig, stage_means, tiny_vit_21m_config
 
@@ -127,9 +128,9 @@ class TransformerDecoderLayer(nn.Module):
         self.cross_attn = MHAProjections(self.d_model, self.n_head, self.dtype)
         self.linear1 = nn.Dense(self.d_ffn, dtype=self.dtype)
         self.linear2 = nn.Dense(self.d_model, dtype=self.dtype)
-        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm1 = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm2 = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm3 = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
 
     def _ffn(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:

@@ -1,0 +1,166 @@
+"""Fused LayerNorm Pallas kernel.
+
+Profiling the GIT teacher forward on v5e showed XLA's LayerNorm lowering
+(convert → reduce fusion → normalize, with f32 upcasts) costing ~0.8 ms per
+LN at [12336, 1024] — ~39 ms of a 128 ms encode across the 50 norms. This
+kernel does the whole thing in one VMEM pass per row-block: f32 mean/var on
+the VPU, normalize, scale+bias, cast back — ~50 MB of HBM traffic instead
+of several fused passes.
+
+Backward is a closed-form XLA VJP (exact, fuses fine — the backward pass is
+not the bottleneck, and only the student's norms ever need gradients).
+
+Used by ``FusedLayerNorm`` (drop-in for ``flax.linen.LayerNorm``: same
+param names 'scale'/'bias', same epsilon semantics) on TPU; XLA everywhere
+else.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _ln_reference(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _pallas_ln(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               eps: float, block_rows: int = 256,
+               interpret: bool = False) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, width = x.shape
+    rows_p = _round_up(max(rows, 8), block_rows)
+    width_p = _round_up(width, 128)
+    if rows_p != rows or width_p != width:
+        x = jnp.pad(x, ((0, rows_p - rows), (0, width_p - width)))
+        scale = jnp.pad(scale, (0, width_p - width))
+        bias = jnp.pad(bias, (0, width_p - width))
+
+    inv_n = 1.0 / width  # true width, not padded
+
+    def kernel(x_ref, s_ref, b_ref, o_ref):
+        xv = x_ref[...].astype(jnp.float32)            # [block, Wp]
+        if width_p != width:
+            col = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1)
+            xv = jnp.where(col < width, xv, 0.0)
+        mean = jnp.sum(xv, axis=-1, keepdims=True) * inv_n
+        cent = xv - mean
+        if width_p != width:
+            col = jax.lax.broadcasted_iota(jnp.int32, xv.shape, 1)
+            cent = jnp.where(col < width, cent, 0.0)
+        var = jnp.sum(cent * cent, axis=-1, keepdims=True) * inv_n
+        y = cent * jax.lax.rsqrt(var + eps)
+        y = y * s_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+        o_ref[...] = y.astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows_p // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, width_p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width_p), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width_p), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, width_p), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_p, width_p), x.dtype),
+        interpret=interpret,
+    )(x, scale[None], bias[None])
+    return out[:rows, :width]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_ln(x, scale, bias, eps):
+    return _pallas_ln(x, scale, bias, eps)
+
+
+def _fused_ln_fwd(x, scale, bias, eps):
+    return _pallas_ln(x, scale, bias, eps), (x, scale)
+
+
+def _fused_ln_bwd(eps, res, g):
+    x, scale = res
+    x32 = x.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    n = x.shape[-1]
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    cent = x32 - mean
+    var = jnp.mean(cent * cent, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = cent * rstd
+    gy = g32 * scale.astype(jnp.float32)
+    dx = rstd * (gy - jnp.mean(gy, axis=-1, keepdims=True)
+                 - xhat * jnp.mean(gy * xhat, axis=-1, keepdims=True))
+    dscale = jnp.sum(g32 * xhat, axis=0)
+    dbias = jnp.sum(g32, axis=0)
+    return (dx.astype(x.dtype), dscale.astype(scale.dtype),
+            dbias.astype(scale.dtype))
+
+
+_fused_ln.defvjp(_fused_ln_fwd, _fused_ln_bwd)
+
+
+# A/B on v5e (GIT teacher fwd, B8): standalone Pallas LN makes LN ops
+# themselves ~30x cheaper in the op profile, but the WHOLE program is ~6%
+# slower (128.4 vs 121.6 ms p50) because XLA can no longer fuse the norm
+# into neighboring residual adds / matmul epilogues. Default is therefore
+# XLA; flip ENABLE_PALLAS_LN for kernels that later fuse the residual too.
+ENABLE_PALLAS_LN = False
+
+
+def fused_layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                     eps: float = 1e-5,
+                     use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """LayerNorm over the last axis; XLA by default (see A/B note above)."""
+    if use_pallas is None:
+        if not ENABLE_PALLAS_LN:
+            use_pallas = False
+        else:
+            try:
+                use_pallas = jax.devices()[0].platform == "tpu"
+            except Exception:
+                use_pallas = False
+    shape = x.shape
+    width = shape[-1]
+    if not use_pallas:
+        return _ln_reference(x, scale, bias, eps)
+    flat = x.reshape(-1, width)
+    out = _fused_ln(flat, scale, bias, eps)
+    return out.reshape(shape)
+
+
+import flax.linen as nn
+
+
+class FusedLayerNorm(nn.Module):
+    """Drop-in for ``flax.linen.LayerNorm`` (same 'scale'/'bias' param names,
+    so converted checkpoints load identically) backed by the Pallas kernel
+    on TPU."""
+
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        width = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (width,))
+        bias = self.param("bias", nn.initializers.zeros, (width,))
+        return fused_layer_norm(x, scale, bias, self.epsilon)

@@ -145,3 +145,52 @@ def test_clip_preprocess_matches_torchvision():
 
     got = np.asarray(clip_preprocess(jnp.asarray(frame_bgr[None])))[0]
     assert np.abs(got - ref).mean() < 0.05
+
+
+def test_fused_layernorm_matches_flax():
+    import flax.linen as nn
+    from rtvc_tpu.ops.layernorm import _pallas_ln, _ln_reference
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(37, 100)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(100,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(100,)).astype(np.float32))
+    ref = _ln_reference(x, scale, bias, 1e-5)
+    flax_ln = nn.LayerNorm(epsilon=1e-5)
+    flax_out = flax_ln.apply({"params": {"scale": scale, "bias": bias}}, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(flax_out),
+                               atol=2e-5, rtol=2e-5)
+    got = _pallas_ln(x, scale, bias, 1e-5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_layernorm_gradients_match():
+    from rtvc_tpu.ops.layernorm import _ln_reference, fused_layer_norm
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(5, 64)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+
+    # closed-form bwd vs autodiff-of-reference
+    def ref_loss(x, s, b):
+        return jnp.sum(_ln_reference(x, s, b, 1e-5) ** 2)
+
+    gx_ref, gs_ref, gb_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(x, scale, bias)
+
+    from rtvc_tpu.ops.layernorm import _fused_ln_bwd
+    y = _ln_reference(x, scale, bias, 1e-5)
+    g = 2 * y
+    gx, gs, gb = _fused_ln_bwd(1e-5, (x, scale), g)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gs_ref),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def _fused_ln_fwd_interp(x, s, b):
+    from rtvc_tpu.ops.layernorm import _pallas_ln
+    return _pallas_ln(x, s, b, 1e-5, interpret=True), (x, s)
