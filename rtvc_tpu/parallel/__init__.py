@@ -3,6 +3,7 @@ from .mesh import (
     shard_batch,
     replicate,
     param_shardings,
+    place_params,
     data_parallel_shardings,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "shard_batch",
     "replicate",
     "param_shardings",
+    "place_params",
     "data_parallel_shardings",
 ]

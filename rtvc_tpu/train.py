@@ -186,8 +186,8 @@ def make_eval_step(student: StudentCandidateV1, max_len: int):
 
 def evaluate(student, variables, loader, tokenizer, logger: RunLogger,
              epoch: int, split: str, max_len_extra: int = 5,
-             annotations: Optional[Dict[str, List[str]]] = None
-             ) -> Tuple[float, List[dict]]:
+             annotations: Optional[Dict[str, List[str]]] = None,
+             verbose: bool = True) -> Tuple[float, List[dict]]:
     """Validation/test epoch: greedy decode, BLEU-4, transcripts, COCO accum
     (reference model.py:1006-1102)."""
     all_bleu: List[float] = []
@@ -203,6 +203,10 @@ def evaluate(student, variables, loader, tokenizer, logger: RunLogger,
         caps_wrapped = [[c] for c in caps]
         bleu4 = metrics_lib.calculate_bleu_score_corpus(caps_wrapped, preds)
         all_bleu.append(bleu4)
+        if verbose:  # reference printed per step (model.py:1023-1025)
+            print(f"Ground-Truth Captions: {caps_wrapped}")
+            print(f"Student Predictions: {preds}")
+            print(f"BLEU@4: {bleu4}")
         logger.log_epoch_transcript(split, epoch, caps_wrapped, preds, bleu4)
         for vid, pred in zip(batch["vid-id"], preds):
             outputs.append({"image_id": str(vid), "caption": pred})
