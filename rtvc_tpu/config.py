@@ -118,6 +118,7 @@ class TpuConfig:
     use_pallas_attention: bool = True
     donate_train_state: bool = True
     remat_encoder: bool = False
+    quantize_teacher: bool = False  # W8A8 frozen-teacher inference
 
 
 @dataclass(frozen=True)

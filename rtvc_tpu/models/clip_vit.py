@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import multi_head_attention
 from ..ops.layernorm import FusedLayerNorm
+from ..ops.quantization import QuantDense
 
 
 @dataclasses.dataclass(frozen=True)
@@ -39,6 +40,7 @@ class CLIPViTConfig:
     layers: int = 24
     heads: int = 16
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False  # W8A8 Denses (frozen-teacher inference only)
 
 
 def clip_vit_l14_config(**overrides) -> CLIPViTConfig:
@@ -54,17 +56,19 @@ class CLIPAttention(nn.Module):
     width: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dense = QuantDense if self.quantized else nn.Dense
         b, l, _ = x.shape
-        qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="qkv")(x)
+        qkv = dense(3 * self.width, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         def heads(t):
             return t.reshape(b, l, self.heads, -1).transpose(0, 2, 1, 3)
         out = multi_head_attention(heads(q), heads(k), heads(v))
         out = out.transpose(0, 2, 1, 3).reshape(b, l, self.width)
-        return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
+        return dense(self.width, dtype=self.dtype, name="out_proj")(out)
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -73,16 +77,18 @@ class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dense = QuantDense if self.quantized else nn.Dense
         h = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         x = x + CLIPAttention(self.width, self.heads, self.dtype,
-                              name="attn")(h)
+                              self.quantized, name="attn")(h)
         h = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
-        h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(h)
+        h = dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(h)
         h = quick_gelu(h)
-        h = nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
+        h = dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
         return x + h
 
 
@@ -127,6 +133,7 @@ class CLIPViT(nn.Module):
         taps: List[jnp.ndarray] = []
         for i in range(cfg.layers):
             x = ResidualAttentionBlock(cfg.width, cfg.heads, cfg.dtype,
+                                       cfg.quantized,
                                        name=f"resblock_{i}")(x)
             if i in wanted:
                 taps.append(x)

@@ -45,6 +45,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import multi_head_attention
 from ..ops.layernorm import FusedLayerNorm
+from ..ops.quantization import QuantDense
 from .clip_vit import CLIPViT, CLIPViTConfig, clip_vit_l14_config
 
 Cache = Dict[str, jnp.ndarray]
@@ -63,6 +64,7 @@ class GITConfig:
     dropout: float = 0.1
     clip: CLIPViTConfig = clip_vit_l14_config()
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False  # W8A8 textual-head Denses (frozen inference)
 
 
 class BertLayer(nn.Module):
@@ -73,15 +75,17 @@ class BertLayer(nn.Module):
     ffn: int
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     def setup(self):
-        self.query = nn.Dense(self.hidden, dtype=self.dtype)
-        self.key = nn.Dense(self.hidden, dtype=self.dtype)
-        self.value = nn.Dense(self.hidden, dtype=self.dtype)
-        self.attn_out = nn.Dense(self.hidden, dtype=self.dtype)
+        dense = QuantDense if self.quantized else nn.Dense
+        self.query = dense(self.hidden, dtype=self.dtype)
+        self.key = dense(self.hidden, dtype=self.dtype)
+        self.value = dense(self.hidden, dtype=self.dtype)
+        self.attn_out = dense(self.hidden, dtype=self.dtype)
         self.attn_norm = FusedLayerNorm(epsilon=1e-12, dtype=self.dtype)
-        self.inter = nn.Dense(self.ffn, dtype=self.dtype)
-        self.out = nn.Dense(self.hidden, dtype=self.dtype)
+        self.inter = dense(self.ffn, dtype=self.dtype)
+        self.out = dense(self.hidden, dtype=self.dtype)
         self.out_norm = FusedLayerNorm(epsilon=1e-12, dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
 
@@ -149,8 +153,9 @@ class TextualHead(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.visual_projection = nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
-                                          name="visual_projection")
+        dense = QuantDense if cfg.quantized else nn.Dense
+        self.visual_projection = dense(cfg.hidden_size, dtype=cfg.dtype,
+                                       name="visual_projection")
         self.visual_ln = FusedLayerNorm(epsilon=1e-12, dtype=cfg.dtype,
                                         name="visual_ln")
         self.word_embeddings = nn.Embed(cfg.vocab_size, cfg.hidden_size,
@@ -165,10 +170,10 @@ class TextualHead(nn.Module):
         self.layers = [
             BertLayer(cfg.hidden_size, cfg.attention_heads,
                       cfg.feedforward_size, cfg.dropout, cfg.dtype,
-                      name=f"layer_{i}")
+                      cfg.quantized, name=f"layer_{i}")
             for i in range(cfg.num_layers)
         ]
-        self.output = nn.Dense(cfg.vocab_size, dtype=cfg.dtype, name="output")
+        self.output = dense(cfg.vocab_size, dtype=cfg.dtype, name="output")
 
     def project_visual(self, visual: jnp.ndarray) -> jnp.ndarray:
         return self.visual_ln(self.visual_projection(visual))
@@ -289,6 +294,14 @@ class GITTeacher(nn.Module):
 GenerativeImageTextTeacher = GITTeacher
 
 
+def quantize_teacher_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Float teacher variables → W8A8 variables (for GITConfig.quantized)."""
+    from ..ops.quantization import quantize_teacher_params
+    out = dict(variables)
+    out["params"] = quantize_teacher_params(variables["params"])
+    return out
+
+
 def teacher_from_config(cfg) -> GITTeacher:
     dtype = jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else jnp.float32
     git = GITConfig(
@@ -300,7 +313,9 @@ def teacher_from_config(cfg) -> GITTeacher:
         visual_feature_size=cfg.teacher.visual_feature_size,
         max_caption_length=cfg.teacher.max_caption_length,
         num_image_with_embedding=cfg.teacher.num_image_with_embedding,
-        clip=clip_vit_l14_config(dtype=dtype),
+        clip=clip_vit_l14_config(dtype=dtype,
+                                 quantized=cfg.tpu.quantize_teacher),
         dtype=dtype,
+        quantized=cfg.tpu.quantize_teacher,
     )
     return GITTeacher(git)

@@ -1,0 +1,113 @@
+"""Int8 quantization for the frozen teacher (W8A8 dynamic).
+
+The distillation teacher is inference-only (frozen at load, reference
+model.py:741-745), which makes it a textbook target for int8: the v5e MXU
+runs int8 x int8 → int32 at 2x the bf16 rate, and KD logits tolerate
+per-channel weight + per-token dynamic activation quantization.
+
+Measured A/B (v5e, full GIT-Large teacher fwd, B8): **accuracy holds**
+(max total-variation 0.013, argmax agreement 94% on random weights) but
+**no end-to-end speedup yet** (122.9 vs 123.0 ms p50) — this XLA build does
+not appear to lower the int8 dot to the doubled-rate MXU path, and the
+per-activation quantize passes add elementwise traffic. Kept opt-in
+(``TpuConfig.quantize_teacher``) for stacks where int8 lowering lands;
+revisit with an explicit Pallas int8 matmul kernel (ROADMAP #8).
+
+Scheme (standard W8A8 dynamic):
+- weights: symmetric per-OUTPUT-channel int8, scale = max|w_col| / 127,
+  computed once at load by :func:`quantize_teacher_params`;
+- activations: symmetric per-token (per row) int8 at runtime,
+  scale = max|x_row| / 127;
+- matmul: ``lax.dot_general(x_i8, w_i8, preferred_element_type=int32)``
+  then rescale by sx ⊗ sw and add the fp bias.
+
+``QuantDense`` is the drop-in module; teacher configs grow a ``quantized``
+flag that swaps it in for every Dense in the textual head and CLIP blocks
+(patch conv and embeddings stay bf16 — negligible FLOPs).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+PyTree = Any
+
+
+def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[in, out] float kernel → (int8 kernel, per-output-channel scale)."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale.astype(jnp.float32)
+
+
+def quantize_activations(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., in] float → (int8, per-row scale [..., 1])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
+                bias: Optional[jnp.ndarray] = None,
+                out_dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """W8A8 dynamic matmul: quantize x per-token, int8 MXU dot, rescale."""
+    x_q, x_scale = quantize_activations(x)
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * x_scale * w_scale
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+class QuantDense(nn.Module):
+    """Drop-in Dense running W8A8 (params: kernel_q int8, kernel_scale,
+    bias). Populate params via :func:`quantize_teacher_params` from a float
+    checkpoint — random init is only for shape/dtype discovery."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_dim = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q",
+            lambda rng, shape: jax.random.randint(rng, shape, -5, 5, jnp.int8),
+            (in_dim, self.features))
+        kernel_scale = self.param(
+            "kernel_scale", nn.initializers.constant(0.01),
+            (self.features,))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return int8_matmul(x, kernel_q, kernel_scale, bias,
+                           out_dtype=self.dtype)
+
+
+def quantize_teacher_params(params: PyTree) -> PyTree:
+    """Float teacher param tree → quantized tree: every 2-D ``kernel`` leaf
+    becomes ``kernel_q`` + ``kernel_scale`` (biases/norms/embeddings and the
+    4-D patch-conv kernel stay float).
+
+    Pass DEVICE arrays: per-leaf jnp ops on host numpy trigger one TPU
+    round-trip per leaf (~5 min for the 394M teacher vs seconds on-device).
+    """
+    def walk(node):
+        if isinstance(node, dict):
+            if "kernel" in node and getattr(node["kernel"], "ndim", 0) == 2:
+                w_q, scale = quantize_weight(node["kernel"])
+                out = {k: walk(v) for k, v in node.items() if k != "kernel"}
+                out["kernel_q"] = w_q
+                out["kernel_scale"] = scale
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        return node
+    return walk(dict(params))

@@ -85,6 +85,15 @@ class PlateauScheduler:
         return self.lr
 
 
+def _prune_checkpoints(run_dir: str, keep: int) -> None:
+    """Keep only the newest ``keep`` checkpoints (reference ModelCheckpoint
+    save_top_k=1 monitoring 'epoch' == keep-latest, config.py:47-54)."""
+    import shutil
+    ckpts = sorted(d for d in os.listdir(run_dir) if d.startswith("ckpt_"))
+    for stale in ckpts[:-keep] if keep > 0 else []:
+        shutil.rmtree(os.path.join(run_dir, stale), ignore_errors=True)
+
+
 def plot_loss(values, label: str, out_path: str) -> None:
     """Loss-curve plot (reference train.py:28-39). Headless-safe (Agg)."""
     import matplotlib
@@ -311,6 +320,7 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                 "opt_state": state.opt_state,
                 "step": state.step,
             })
+            _prune_checkpoints(run_dir, config.callback.save_top_k)
 
     test_bleu, test_outputs = evaluate(
         student, {"params": state.params, "batch_stats": state.batch_stats},

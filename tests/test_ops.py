@@ -194,3 +194,56 @@ def test_fused_layernorm_gradients_match():
 def _fused_ln_fwd_interp(x, s, b):
     from rtvc_tpu.ops.layernorm import _pallas_ln
     return _pallas_ln(x, s, b, 1e-5, interpret=True), (x, s)
+
+
+def test_int8_quantization_roundtrip():
+    from rtvc_tpu.ops.quantization import (int8_matmul, quantize_activations,
+                                           quantize_weight)
+
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(7, 64)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+    w_q, w_s = quantize_weight(w)
+    assert w_q.dtype == jnp.int8 and w_s.shape == (32,)
+    # dequantized weight close to original
+    np.testing.assert_allclose(np.asarray(w_q.astype(jnp.float32) * w_s),
+                               np.asarray(w), atol=np.abs(w).max() / 100)
+    got = int8_matmul(x, w_q, w_s, b)
+    want = x @ w + b
+    rel = np.abs(np.asarray(got) - np.asarray(want)).max() / np.abs(want).max()
+    assert rel < 0.03  # W8A8 dynamic keeps ~2 decimal digits
+
+
+def test_quantized_teacher_close_to_float():
+    from rtvc_tpu.models.git_teacher import (GITTeacher,
+                                             quantize_teacher_variables)
+    from test_models import TINY_GIT
+    import dataclasses
+
+    frames = jax.random.normal(jax.random.PRNGKey(8), (1, 2, 28, 28, 3))
+    caps = jnp.array([[101, 5, 7, 9]], jnp.int32)
+    float_model = GITTeacher(TINY_GIT)
+    fvars = float_model.init(jax.random.PRNGKey(0), frames, caps)
+    f_logits = float_model.apply(fvars, frames, caps)
+
+    q_cfg = dataclasses.replace(
+        TINY_GIT, quantized=True,
+        clip=dataclasses.replace(TINY_GIT.clip, quantized=True))
+    q_model = GITTeacher(q_cfg)
+    qvars = quantize_teacher_variables(fvars)
+    # param tree structurally matches the quantized model's expectations
+    ref_shapes = jax.tree.map(lambda a: a.shape,
+                              q_model.init(jax.random.PRNGKey(1), frames,
+                                           caps)["params"])
+    got_shapes = jax.tree.map(lambda a: a.shape, qvars["params"])
+    assert ref_shapes == got_shapes
+    q_logits = q_model.apply(qvars, frames, caps)
+    # KD-quality check: probabilities stay close through 2+24 quantized layers
+    pf = jax.nn.softmax(f_logits.astype(jnp.float32), -1)
+    pq = jax.nn.softmax(q_logits.astype(jnp.float32), -1)
+    tv = float(jnp.abs(pf - pq).sum(-1).max()) / 2  # total variation
+    assert tv < 0.15, tv
+    # argmax agreement on most positions
+    agree = float(jnp.mean(jnp.argmax(f_logits, -1) == jnp.argmax(q_logits, -1)))
+    assert agree >= 0.75, agree
