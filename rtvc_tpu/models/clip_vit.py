@@ -47,6 +47,33 @@ def clip_vit_l14_config(**overrides) -> CLIPViTConfig:
     return dataclasses.replace(CLIPViTConfig(), **overrides)
 
 
+def clip_vit_b16_config(**overrides) -> CLIPViTConfig:
+    """CLIP ViT-B/16 @224: 197 tokens x 768 (GIT-base's encoder — the
+    reference factory's default, model.py:682-683)."""
+    cfg = CLIPViTConfig(patch_size=16, width=768, layers=12, heads=12)
+    return dataclasses.replace(cfg, **overrides)
+
+
+# reference image_encoder_type strings (model.py:682, parameter.yaml)
+IMAGE_ENCODERS = {
+    "CLIPViT_L_14": clip_vit_l14_config,
+    "CLIPViT_B_16": clip_vit_b16_config,
+}
+
+
+def get_image_encoder(encoder_type: str = "CLIPViT_B_16",
+                      input_resolution: int = 224,
+                      **overrides) -> "CLIPViT":
+    """Factory mirroring generativeimage2text's ``get_image_encoder``
+    (used at reference model.py:682-685)."""
+    if encoder_type not in IMAGE_ENCODERS:
+        raise ValueError(f"unknown image encoder {encoder_type!r}; "
+                         f"known: {sorted(IMAGE_ENCODERS)}")
+    cfg = IMAGE_ENCODERS[encoder_type](image_size=input_resolution,
+                                       **overrides)
+    return CLIPViT(cfg)
+
+
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     """OpenAI CLIP's QuickGELU: x * sigmoid(1.702 x)."""
     return x * nn.sigmoid(1.702 * x)

@@ -294,6 +294,45 @@ class GITTeacher(nn.Module):
 GenerativeImageTextTeacher = GITTeacher
 
 
+def get_git_model(param: Dict[str, Any], dtype: jnp.dtype = jnp.float32,
+                  quantized: bool = False) -> "GITTeacher":
+    """Factory mirroring the reference's ``get_git_model``
+    (model.py:681-718): builds the image encoder from
+    ``param['image_encoder_type']`` (default CLIPViT_B_16 like the
+    reference) and the 768-d, 6-layer, 12-head textual head with
+    ``visual_feature_size`` from the param dict. ``param`` is the teacher's
+    parameter.yaml content (e.g. GIT_LARGE_MSRVTT: num_image_with_embedding
+    6, visual_feature_size 1024, image_encoder_type CLIPViT_L_14)."""
+    from .clip_vit import IMAGE_ENCODERS
+
+    encoder_type = param.get("image_encoder_type", "CLIPViT_B_16")
+    resolution = param.get("test_crop_size", 224)
+    clip = IMAGE_ENCODERS[encoder_type](image_size=resolution, dtype=dtype,
+                                        quantized=quantized)
+    git = GITConfig(
+        visual_feature_size=param.get("visual_feature_size", 768),
+        vocab_size=30522,
+        hidden_size=768,
+        num_layers=6,
+        attention_heads=12,
+        feedforward_size=768 * 4,
+        max_caption_length=1024,
+        num_image_with_embedding=param.get("num_image_with_embedding", 6),
+        clip=clip,
+        dtype=dtype,
+        quantized=quantized,
+    )
+    return GITTeacher(git)
+
+
+def load_teacher_param_yaml(path: str) -> Dict[str, Any]:
+    """YAML loader for teacher parameter files (reference
+    ``load_from_yaml_file``, model.py:734)."""
+    import yaml
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
 def quantize_teacher_variables(variables: Dict[str, Any]) -> Dict[str, Any]:
     """Float teacher variables → W8A8 variables (for GITConfig.quantized)."""
     from ..ops.quantization import quantize_teacher_params

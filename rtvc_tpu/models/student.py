@@ -208,9 +208,14 @@ class StudentCandidateV1(nn.Module):
     teacher_num_tokens: int = 1542
     teacher_hidden: int = 768
     dtype: jnp.dtype = jnp.float32
+    remat_encoder: bool = False  # rematerialize TinyViT activations in bwd
 
     def setup(self):
-        self.image_encoder = TinyViT(self.encoder_config, name="image_encoder")
+        # static_argnums indexes __call__ args INCLUDING self: train is 2
+        # (train must also be passed positionally at the call site)
+        enc_cls = (nn.remat(TinyViT, static_argnums=(2,))
+                   if self.remat_encoder else TinyViT)
+        self.image_encoder = enc_cls(self.encoder_config, name="image_encoder")
         self.layers = [
             TransformerDecoderLayer(self.d_model, self.n_head, self.d_ffn,
                                     self.dropout, self.dtype,
@@ -244,7 +249,7 @@ class StudentCandidateV1(nn.Module):
             x = jnp.transpose(x, (0, 1, 3, 4, 2))
         b, f = x.shape[:2]
         flat = x.reshape((b * f,) + x.shape[2:])
-        fmaps = self.image_encoder(flat, train=train)
+        fmaps = self.image_encoder(flat, train)  # positional: remat static arg
         memory = stage_means(fmaps[-1:])[0].reshape(b, f, -1)
         return fmaps, memory
 
@@ -360,4 +365,5 @@ def student_from_config(cfg) -> StudentCandidateV1:
         teacher_num_tokens=cfg.teacher.num_image_with_embedding * 257,
         teacher_hidden=cfg.teacher.hidden_size,
         dtype=enc.dtype,
+        remat_encoder=cfg.tpu.remat_encoder,
     )

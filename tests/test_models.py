@@ -154,3 +154,57 @@ def test_git_prefix_causal_mask_semantics():
                                np.asarray(logits2[0, :3]), atol=1e-5)
     assert not np.allclose(np.asarray(logits1[0, 3]),
                            np.asarray(logits2[0, 3]))
+
+
+def test_image_encoder_factory():
+    from rtvc_tpu.models.clip_vit import get_image_encoder
+    import pytest as _pytest
+
+    enc = get_image_encoder("CLIPViT_B_16", input_resolution=224, width=32,
+                            layers=2, heads=2)
+    x = jnp.zeros((1, 224, 224, 3))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    tokens, _ = enc.apply(variables, x)
+    assert tokens.shape == (1, 14 * 14 + 1, 32)  # B/16 grid: 197 tokens
+    with _pytest.raises(ValueError):
+        get_image_encoder("NotAnEncoder")
+
+
+def test_get_git_model_factory():
+    from rtvc_tpu.models.git_teacher import get_git_model
+
+    # GIT_LARGE_MSRVTT parameter.yaml content
+    param = {"num_image_with_embedding": 6, "visual_feature_size": 1024,
+             "image_encoder_type": "CLIPViT_L_14"}
+    model = get_git_model(param)
+    assert model.config.visual_feature_size == 1024
+    assert model.config.num_image_with_embedding == 6
+    assert model.config.clip.patch_size == 14
+    # factory default mirrors the reference: CLIPViT_B_16, vfs 768
+    base = get_git_model({})
+    assert base.config.clip.patch_size == 16
+    assert base.config.visual_feature_size == 768
+
+
+def test_remat_encoder_same_outputs():
+    frames = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 64, 64, 3))
+    y = jnp.array([[101, 5, 6]], jnp.int32)
+    plain = tiny_student(dropout=0.0)
+    remat = tiny_student(dropout=0.0, remat_encoder=True)
+    variables = plain.init(jax.random.PRNGKey(0), frames, y)
+    out_a = plain.apply(variables, frames, y)[-1]
+    out_b = remat.apply(variables, frames, y)[-1]
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=1e-5, rtol=1e-5)
+
+    # remat path must be differentiable
+    def loss(params):
+        out = remat.apply({"params": params,
+                           "batch_stats": variables.get("batch_stats", {})},
+                          frames, y, True,
+                          rngs={"dropout": jax.random.PRNGKey(1)},
+                          mutable=["batch_stats"])[0][-1]
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
