@@ -289,11 +289,16 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
         return opt_state
 
     step_rng = jax.random.PRNGKey(config.seed + 2)
+    from .parallel.mesh import shard_batch
+    dp = mesh.shape.get("dp", 1)
+
     for epoch in range(epochs):
         epoch_losses = []
         # train_loader must be re-iterable (DeviceLoader restarts per epoch)
         for batch in train_loader:
             arrays = {"frames": batch["frames"], "caption": batch["caption"]}
+            if dp > 1 and arrays["caption"].shape[0] % dp == 0:
+                arrays = shard_batch(arrays, mesh)  # dp-axis placement
             timer.start()
             state, m = train_step(state, teacher_vars, arrays, step_rng)
             timer.stop(sync_on=m["total"])

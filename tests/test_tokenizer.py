@@ -66,3 +66,16 @@ def test_decode_skips_special_tokens(tok):
 def test_unk_fallback(tok):
     ids = tok.encode("üñîçødé_zzz€")
     assert all(isinstance(i, int) for i in ids)
+
+
+def test_vocab_file_roundtrip(tmp_path):
+    from rtvc_tpu.tokenization.vocab import build_synthetic_vocab, load_vocab, save_vocab
+
+    vocab = build_synthetic_vocab()
+    path = tmp_path / "vocab.txt"
+    save_vocab(vocab, str(path))
+    loaded = load_vocab(str(path))
+    assert loaded == vocab
+    tok = BertWordPieceTokenizer(vocab_file=str(path))
+    assert tok.cls_token_id == 101
+    assert tok.decode(tok.encode("a dog runs")) == "a dog runs"
