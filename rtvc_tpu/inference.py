@@ -24,7 +24,11 @@ from .models.student import StudentCandidateV1, student_from_config
 
 def inference(config: Config, test_loader: Iterable, tokenizer,
               run_name: str, student: Optional[StudentCandidateV1] = None,
-              variables=None, max_len: int = 25) -> List[str]:
+              variables=None, max_len: int = 25,
+              beam_size: int = 0) -> List[str]:
+    """``beam_size > 0`` decodes with the student's beam search instead of
+    greedy (the reference implemented both, model.py:156-317, but its
+    inference entry only exercised greedy)."""
     student = student or student_from_config(config)
     if variables is None:
         run_dir = os.path.join(config.logger.save_dir, "run", run_name)
@@ -39,8 +43,14 @@ def inference(config: Config, test_loader: Iterable, tokenizer,
     preds: List[str] = []
     for batch in test_loader:
         y = np.asarray(batch["caption"])
-        tokens = decode_lib.student_greedy(student, variables,
-                                           batch["frames"], max_len=max_len)
+        if beam_size > 0:
+            tokens = decode_lib.student_beam(student, variables,
+                                             batch["frames"],
+                                             max_len=max_len, k=beam_size)
+        else:
+            tokens = decode_lib.student_greedy(student, variables,
+                                               batch["frames"],
+                                               max_len=max_len)
         tokens = np.asarray(tokens)
         caps = [tokenizer.decode(c, skip_special_tokens=True) for c in y]
         preds = [tokenizer.decode(t, skip_special_tokens=True)
@@ -55,10 +65,13 @@ def inference(config: Config, test_loader: Iterable, tokenizer,
 def main(argv: Optional[List[str]] = None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
-        print("usage: python -m rtvc_tpu.inference <run_name>",
+        print("usage: python -m rtvc_tpu.inference <run_name> [--beam K]",
               file=sys.stderr)
         sys.exit(2)
     run_name = argv[0]
+    beam_size = 0
+    if "--beam" in argv:
+        beam_size = int(argv[argv.index("--beam") + 1])
 
     from .data.dataset import CaptionDataset, DeviceLoader, load_labels
     from .tokenization import BertWordPieceTokenizer
@@ -71,7 +84,8 @@ def main(argv: Optional[List[str]] = None) -> None:
                         num_frames=config.data.num_frames,
                         random_state=config.seed)
     loader = DeviceLoader(ds, config.train.batch_size)
-    inference(config, loader, BertWordPieceTokenizer(), run_name)
+    inference(config, loader, BertWordPieceTokenizer(), run_name,
+              beam_size=beam_size)
 
 
 if __name__ == "__main__":

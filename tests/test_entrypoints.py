@@ -115,3 +115,18 @@ def test_realtime_streaming_headless(student_ckpt, tmp_path):
                          max_captions=2, max_seconds=60)
     assert stats["captions"] >= 1
     assert stats["caption_p50_s"] > 0
+
+
+def test_inference_entry_beam(student_ckpt):
+    from rtvc_tpu.inference import inference
+
+    model, variables, run_dir = student_ckpt
+    config = from_dict({"logger": {"save_dir":
+                                   os.path.dirname(os.path.dirname(run_dir))}})
+    frames = jax.random.normal(jax.random.PRNGKey(4), (2, 2, 64, 64, 3))
+    caps = jnp.array([[101, 5, 6, 0], [101, 7, 0, 0]], jnp.int32)
+    loader = [{"frames": frames, "caption": caps,
+               "vid-id": ["a", "b"], "caption-id": [0, 1]}]
+    preds = inference(config, loader, BertWordPieceTokenizer(), "myrun",
+                      student=model, max_len=5, beam_size=3)
+    assert len(preds) == 2
