@@ -208,8 +208,17 @@ class TextualHead(nn.Module):
 
     # ---- incremental decoding --------------------------------------------
     def init_cache(self, visual: jnp.ndarray, max_text: int) -> List[Cache]:
-        vis = self.project_visual(visual)
-        return [layer.init_cache(vis, max_text) for layer in self.layers]
+        """Prefill per-layer visual K/V by running the visual prefix through
+        the stack ONCE (GIT's ``prev_encoded_layers`` history, reference
+        model.py:439-445): layer i's cached keys/values come from layer
+        i-1's hidden states over the visual tokens, not the layer-0 input."""
+        x = self.project_visual(visual)
+        caches: List[Cache] = []
+        for layer in self.layers:
+            caches.append(layer.init_cache(x, max_text))
+            # visual-only self-attention (full bidirectional within prefix)
+            x = layer(x, prefix_len=x.shape[1])
+        return caches
 
     def decode_step(self, token: jnp.ndarray, text_index: jnp.ndarray,
                     caches: List[Cache], prefix_len: int

@@ -208,3 +208,28 @@ def test_teacher_generate_api():
     for r in results:
         assert set(r) >= {"predictions", "cap", "output", "logprobs"}
         assert r["output"].ndim == 3  # [1, n, V] like the reference
+
+
+def test_teacher_decode_step_matches_full_forward():
+    """Sequential teacher KV-cache steps == teacher-forced forward logits
+    (the property teacher_beam's correctness rests on)."""
+    model = GITTeacher(TINY_GIT)
+    frames = jax.random.normal(jax.random.PRNGKey(9), (2, 2, 28, 28, 3))
+    caps = jnp.array([[101, 5, 7, 9], [101, 8, 3, 2]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), frames, caps)
+
+    full = model.apply(variables, frames, caps)  # [B, T, V]
+
+    visual = model.apply(variables, frames,
+                         method=lambda m, f: m.encode_only(f))
+    prefix = visual.shape[1]
+    caches = model.apply(variables, visual, 4,
+                         method=lambda m, v, t: m.init_cache(v, t))
+    step_logits = []
+    for i in range(4):
+        logits, caches = model.apply(
+            variables, caps[:, i], jnp.int32(i), caches, prefix,
+            method=lambda m, tok, idx, c, p: m.decode_step(tok, idx, c, p))
+        step_logits.append(np.asarray(logits))
+    np.testing.assert_allclose(np.stack(step_logits, 1), np.asarray(full),
+                               atol=1e-4, rtol=1e-4)
