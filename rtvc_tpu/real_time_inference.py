@@ -219,7 +219,9 @@ def run_realtime(config: Config = default_cfg, source: Any = 0,
 
 if __name__ == "__main__":
     import sys
-    src: Any = 0 if len(sys.argv) < 2 else sys.argv[1]
+    args = [a for a in sys.argv[1:] if a != "--headless"]
+    headless = "--headless" in sys.argv[1:]
+    src: Any = 0 if not args else args[0]
     if isinstance(src, str) and src.isdigit():
         src = int(src)
-    print(run_realtime(source=src))
+    print(run_realtime(source=src, display=not headless))

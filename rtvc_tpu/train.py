@@ -237,8 +237,14 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
           teacher_vars: Optional[Any] = None,
           loss_weights: LossWeights = LossWeights(),
           mesh=None, max_epochs: Optional[int] = None,
-          use_orbax: bool = True) -> Tuple[TrainState, Dict[str, Any]]:
-    """Full distillation run (reference train.py:42-157)."""
+          use_orbax: bool = True,
+          resume_from: Optional[str] = None
+          ) -> Tuple[TrainState, Dict[str, Any]]:
+    """Full distillation run (reference train.py:42-157).
+
+    ``resume_from``: path to an orbax checkpoint saved by a previous run —
+    restores params, batch stats, optimizer state AND step, so training
+    continues exactly (the reference never restored optimizer state)."""
     run_dir = os.path.join(config.logger.save_dir, "run", run_name)
     os.makedirs(run_dir, exist_ok=True)
     logger = RunLogger(run_dir, run_name, config_dump={
@@ -267,6 +273,16 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
     tx = optax.inject_hyperparams(optax.adam)(learning_rate=config.train.lr)
 
     state = create_train_state(student, rng, example, tx)
+    if resume_from is not None:
+        from .data.io import restore_checkpoint
+        tree = restore_checkpoint(resume_from, target={
+            "params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": state.step})
+        state = TrainState(params=tree["params"],
+                           batch_stats=tree["batch_stats"],
+                           opt_state=tree["opt_state"], step=tree["step"])
+        logger.write(f"\nresumed from {resume_from} at step "
+                     f"{int(state.step)}\n")
     state = state.replace(params=place_params(state.params, mesh),
                           batch_stats=replicate(state.batch_stats, mesh),
                           opt_state=jax.device_put(state.opt_state))

@@ -187,3 +187,34 @@ def test_checkpoint_resume_roundtrip(tmp_path, setup):
     _, m_a = step(state1, tvars, batch, jax.random.PRNGKey(10))
     _, m_b = step(resumed, tvars, batch, jax.random.PRNGKey(10))
     assert abs(float(m_a["total"]) - float(m_b["total"])) < 1e-5
+
+
+def test_train_resume_from(tmp_path):
+    """train(resume_from=...) restores the full state and continues."""
+    from rtvc_tpu.config import from_dict
+    from rtvc_tpu.data.io import latest_checkpoint
+    from rtvc_tpu.tokenization import BertWordPieceTokenizer
+
+    student, teacher = tiny_pair()
+    config = from_dict({
+        "logger": {"save_dir": str(tmp_path)},
+        "train": {"lr": 1e-3, "batch_size": 4, "trainer": {"max_epochs": 1}},
+        "wandb": {"mode": "disabled"},
+    })
+    tok = BertWordPieceTokenizer()
+
+    def loader(seed):
+        return [synth_batch(b=4, seed=seed) | {"vid-id": [f"v{i}" for i in range(4)],
+                                               "caption-id": list(range(4))}]
+
+    tvars = teacher.init(jax.random.PRNGKey(1),
+                         synth_batch(b=1)["frames"], synth_batch(b=1)["caption"])
+    state1, _ = train(config, loader(0), loader(1), loader(2), tok,
+                      run_name="r1", student=student, teacher=teacher,
+                      teacher_vars=tvars, max_epochs=1)
+    ckpt = latest_checkpoint(str(tmp_path / "run" / "r1"))
+    assert ckpt is not None
+    state2, _ = train(config, loader(0), loader(1), loader(2), tok,
+                      run_name="r2", student=student, teacher=teacher,
+                      teacher_vars=tvars, max_epochs=1, resume_from=ckpt)
+    assert int(state2.step) == int(state1.step) + 1  # continued, not reset
