@@ -32,7 +32,7 @@ from typing import Any, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from .video_handlers import get_evenly_sampled_frames, get_video_frames
+from .video_handlers import get_evenly_sampled_frames
 
 
 class CaptionDataset:

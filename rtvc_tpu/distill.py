@@ -22,7 +22,7 @@ Known reference bugs documented & fixed rather than replicated:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ decoding is a fixed-shape ``lax`` loop over one-token decoder invocations.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, List, Optional, Tuple
 
 import flax.linen as nn

@@ -28,7 +28,7 @@ flag that swaps it in for every Dense in the textual head and CLIP blocks
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
