@@ -105,6 +105,10 @@ class TrainConfig:
     plateau_patience: int = 4
     plateau_factor: float = 0.5
     plateau_min_lr: float = 1e-8
+    # Frozen-teacher logit cache dir ('' = disabled). The reference's fixed
+    # seed makes the (video, caption) pairing constant across epochs
+    # (dataloader.py:66 + train.py:167-199), so teacher outputs are reusable.
+    teacher_cache_dir: str = ""
 
 
 @dataclass(frozen=True)

@@ -30,7 +30,17 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class LossWeights:
-    """Loss mixing weights; defaults = the reference's active combination."""
+    """Loss mixing weights; defaults = the reference's active combination.
+
+    ``kd_source`` selects the teacher distribution for the KL term:
+    - ``"teacher_forced"`` (default, the reference's active path,
+      model.py:896→747-760): teacher logits from a teacher-forced forward
+      over the ground-truth caption;
+    - ``"beam_consensus"``: the reference's ``teacher.forward`` KD-target
+      path (model.py:762-793): the teacher beam-searches a caption and, per
+      generated word, the beam with the max logit for that word supplies the
+      full-vocab teacher distribution (masked to generated length).
+    """
 
     kl: float = 1.0          # loss 2 (model.py:919-928)
     ce: float = 1.0          # loss 3 (model.py:930-935)
@@ -39,6 +49,7 @@ class LossWeights:
     ce_teacher: float = 0.0  # loss 5 (model.py:946-968, commented)
     decoder: float = 0.0     # loss 6 (model.py:970-980, commented)
     temperature: float = 1.0
+    kd_source: str = "teacher_forced"
 
 
 def kl_divergence_loss(student_logits: jnp.ndarray,
@@ -54,6 +65,23 @@ def kl_divergence_loss(student_logits: jnp.ndarray,
     p_t = jax.nn.softmax(t, axis=-1)
     log_p_t = jax.nn.log_softmax(t, axis=-1)
     kl = jnp.sum(p_t * (log_p_t - log_p_s))
+    return (kl / student_logits.shape[0]) * (temperature ** 2)
+
+
+def masked_kl_divergence_loss(student_logits: jnp.ndarray,
+                              teacher_logits: jnp.ndarray,
+                              valid: jnp.ndarray,
+                              temperature: float = 1.0) -> jnp.ndarray:
+    """KL over a position mask, batchmean-style (sum / batch-size) — used by
+    the beam-consensus KD mode where only the teacher's actually-generated
+    word positions carry a distribution (reference model.py:774-789)."""
+    s = student_logits.astype(jnp.float32) / temperature
+    t = teacher_logits.astype(jnp.float32) / temperature
+    log_p_s = jax.nn.log_softmax(s, axis=-1)
+    p_t = jax.nn.softmax(t, axis=-1)
+    log_p_t = jax.nn.log_softmax(t, axis=-1)
+    kl = jnp.sum(p_t * (log_p_t - log_p_s), axis=-1)   # [B, S]
+    kl = jnp.sum(kl * valid.astype(jnp.float32))
     return (kl / student_logits.shape[0]) * (temperature ** 2)
 
 
@@ -118,10 +146,17 @@ def decoder_distillation_loss(student_hidden_proj: Sequence[jnp.ndarray],
     return total / ls
 
 
+def _require(cond: bool, loss_name: str, what: str) -> None:
+    if not cond:
+        raise ValueError(
+            f"LossWeights.{loss_name} is non-zero but {what} was not "
+            f"provided — a weighted loss must never be a silent no-op")
+
+
 def distillation_losses(
     *,
     student_logits: jnp.ndarray,
-    teacher_logits: jnp.ndarray,
+    teacher_logits: Optional[jnp.ndarray],
     targets: jnp.ndarray,
     weights: LossWeights = LossWeights(),
     student_proj_means: Optional[Sequence[jnp.ndarray]] = None,
@@ -129,30 +164,53 @@ def distillation_losses(
     student_visual: Optional[jnp.ndarray] = None,
     teacher_visual: Optional[jnp.ndarray] = None,
     teacher_tokens: Optional[jnp.ndarray] = None,
+    teacher_kd_logits: Optional[jnp.ndarray] = None,
+    teacher_kd_valid: Optional[jnp.ndarray] = None,
     student_hidden_proj: Optional[Sequence[jnp.ndarray]] = None,
     teacher_hidden: Optional[Sequence[jnp.ndarray]] = None,
     teacher_prefix_len: int = 1542,
 ) -> Dict[str, jnp.ndarray]:
     """Compute all requested losses; ``total`` uses the configured weights
-    (reference record: total = kl + ce, model.py:983)."""
+    (reference record: total = kl + ce, model.py:983).
+
+    Every weighted loss whose inputs are missing raises — by design no
+    configured loss can silently drop out of the total."""
     w = weights
     out: Dict[str, jnp.ndarray] = {}
-    out["kl"] = kl_divergence_loss(student_logits, teacher_logits,
-                                   w.temperature)
+    if w.kd_source == "beam_consensus":
+        _require(teacher_kd_logits is not None and teacher_kd_valid is not None,
+                 "kd_source='beam_consensus'", "teacher_kd_logits/valid")
+        s = teacher_kd_logits.shape[1]
+        out["kl"] = masked_kl_divergence_loss(
+            student_logits[:, :s], teacher_kd_logits, teacher_kd_valid,
+            w.temperature)
+    else:
+        if w.kd_source != "teacher_forced":
+            raise ValueError(f"unknown kd_source {w.kd_source!r}")
+        _require(teacher_logits is not None, "kl", "teacher_logits")
+        out["kl"] = kl_divergence_loss(student_logits, teacher_logits,
+                                       w.temperature)
     out["ce"] = cross_entropy_loss(student_logits, targets)
     total = w.kl * out["kl"] + w.ce * out["ce"]
-    if w.fmap and student_proj_means is not None:
+    if w.fmap:
+        _require(student_proj_means is not None and teacher_cls_taps
+                 is not None, "fmap", "student_proj_means/teacher_cls_taps")
         out["fmap"] = fmap_distillation_loss(student_proj_means,
                                              teacher_cls_taps)
         total = total + w.fmap * out["fmap"]
-    if w.final_enc and student_visual is not None:
+    if w.final_enc:
+        _require(student_visual is not None and teacher_visual is not None,
+                 "final_enc", "student_visual/teacher_visual")
         out["final_enc"] = final_encoding_loss(student_visual, teacher_visual)
         total = total + w.final_enc * out["final_enc"]
-    if w.ce_teacher and teacher_tokens is not None:
+    if w.ce_teacher:
+        _require(teacher_tokens is not None, "ce_teacher", "teacher_tokens")
         out["ce_teacher"] = teacher_token_ce_loss(student_logits,
                                                   teacher_tokens)
         total = total + w.ce_teacher * out["ce_teacher"]
-    if w.decoder and student_hidden_proj is not None:
+    if w.decoder:
+        _require(student_hidden_proj is not None and teacher_hidden
+                 is not None, "decoder", "student_hidden_proj/teacher_hidden")
         out["decoder"] = decoder_distillation_loss(
             student_hidden_proj, teacher_hidden, teacher_prefix_len)
         total = total + w.decoder * out["decoder"]

@@ -201,15 +201,146 @@ def cider(gts: Dict[str, List[List[str]]], res: Dict[str, List[str]],
 # METEOR (python approximation: exact + Porter stems; no WordNet offline)
 # --------------------------------------------------------------------------
 
-def _porter_stem(word: str) -> str:
-    """Tiny Porter-style suffix stripper (covers the common caption forms)."""
-    for suf in ("ational", "iveness", "fulness", "ousness", "ization"):
-        if word.endswith(suf) and len(word) > len(suf) + 2:
-            return word[: -len(suf)]
-    for suf in ("ingly", "edly", "ing", "ed", "ies", "es", "ly", "s"):
-        if word.endswith(suf) and len(word) > len(suf) + 2:
-            return word[: -len(suf)]
-    return word
+def _cons(w: str, i: int) -> bool:
+    """True if w[i] is a consonant in Porter's sense ('y' after a consonant
+    counts as a vowel)."""
+    c = w[i]
+    if c in "aeiou":
+        return False
+    if c == "y":
+        return i == 0 or not _cons(w, i - 1)
+    return True
+
+
+def _measure(w: str) -> int:
+    """Porter's m: the number of VC sequences in [C](VC){m}[V]."""
+    n = 0
+    i = 0
+    while i < len(w) and _cons(w, i):
+        i += 1
+    while i < len(w):
+        while i < len(w) and not _cons(w, i):
+            i += 1
+        if i >= len(w):
+            break
+        n += 1
+        while i < len(w) and _cons(w, i):
+            i += 1
+    return n
+
+
+def _has_vowel(w: str) -> bool:
+    return any(not _cons(w, i) for i in range(len(w)))
+
+
+def _double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _cons(w, len(w) - 1)
+
+
+def _cvc(w: str) -> bool:
+    """*o: stem ends consonant-vowel-consonant, final not w/x/y."""
+    return (len(w) >= 3 and _cons(w, len(w) - 3)
+            and not _cons(w, len(w) - 2) and _cons(w, len(w) - 1)
+            and w[-1] not in "wxy")
+
+
+# (suffix, replacement) rule tables for steps 2-4, longest suffix first so a
+# match selects the paper's single applicable rule.
+_STEP2 = sorted([
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+    ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+    ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+    ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+    ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+    ("iviti", "ive"), ("biliti", "ble"),
+], key=lambda r: -len(r[0]))
+_STEP3 = sorted([
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+], key=lambda r: -len(r[0]))
+_STEP4 = sorted([
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+], key=len, reverse=True)
+
+
+def porter_stem(word: str) -> str:
+    """The full Porter stemming algorithm (Porter 1980), as METEOR's stem
+    module applies it — replaces the round-1 suffix-stripper approximation.
+    Validated against nltk's ORIGINAL_ALGORITHM mode (tests/test_metrics.py).
+    """
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+
+    # ---- step 1a --------------------------------------------------------
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+
+    # ---- step 1b --------------------------------------------------------
+    fired = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_vowel(w[:-2]):
+        w = w[:-2]
+        fired = True
+    elif w.endswith("ing") and _has_vowel(w[:-3]):
+        w = w[:-3]
+        fired = True
+    if fired:
+        if w.endswith(("at", "bl", "iz")):
+            w = w + "e"
+        elif _double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w = w + "e"
+
+    # ---- step 1c --------------------------------------------------------
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # ---- step 2 ---------------------------------------------------------
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # ---- step 3 ---------------------------------------------------------
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # ---- step 4 ---------------------------------------------------------
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1 and (suf != "ion" or stem[-1:] in ("s", "t")):
+                w = stem
+            break
+
+    # ---- step 5a --------------------------------------------------------
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+
+    # ---- step 5b --------------------------------------------------------
+    if _measure(w) > 1 and _double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+# round-1 name kept as an alias (the approximation it named is gone)
+_porter_stem = porter_stem
 
 
 def _meteor_align(cand: Sequence[str], ref: Sequence[str]) -> Tuple[int, int]:

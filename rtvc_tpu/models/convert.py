@@ -29,7 +29,6 @@ round-2+ task (no weights are downloadable in this sandbox).
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, List, Tuple
 
 import numpy as np
@@ -260,10 +259,14 @@ def student_params_from_torch(sd: StateDict, num_decoder_layers: int = 2,
                               ) -> Tuple[Dict, Dict, List[str]]:
     """Reference StudentCandidateV1 state dict → our param/batch_stats trees.
 
-    Accepts Lightning checkpoints: a ``student.`` prefix is stripped first
-    (reference inference.py:36-38).
+    Accepts full Lightning DistillationTrainer checkpoints: like the
+    reference (io.py:20-23), only ``student.``-prefixed keys are kept (the
+    checkpoint also contains the frozen ``teacher.*`` weights) and the
+    prefix is stripped.
     """
-    sd = {re.sub(r"^student\.", "", k): v for k, v in sd.items()}
+    if any(k.startswith("student.") for k in sd):
+        sd = {k[len("student."):]: v for k, v in sd.items()
+              if k.startswith("student.")}
     used: set = set()
 
     enc_sd = {k[len("image_encoder.model."):]: v for k, v in sd.items()

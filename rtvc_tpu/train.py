@@ -127,25 +127,81 @@ def create_train_state(student: StudentCandidateV1, rng: jax.Array,
 def make_train_step(student: StudentCandidateV1, teacher: GITTeacher,
                     tx: optax.GradientTransformation,
                     weights: LossWeights = LossWeights(),
-                    donate: bool = True):
+                    donate: bool = True, kd_beam_size: int = 4,
+                    kd_max_steps: int = 15, kd_length_penalty: float = 0.6,
+                    external_teacher_logits: bool = False):
     """Build the jitted distillation train step.
 
     The teacher is frozen (reference model.py:741-745): its variables are a
     closed-over constant input, no gradients flow into it.
+
+    When ``weights.ce_teacher != 0`` or ``weights.kd_source ==
+    'beam_consensus'`` the step additionally runs the teacher's beam search
+    in-graph (the reference's ``teacher.forward`` KD-target path,
+    model.py:762-793) — loss 5 trains the student on the teacher's GENERATED
+    tokens, and the consensus mode distills against the per-word best-beam
+    logit rows instead of teacher-forced logits.
     """
     need_fmap = weights.fmap != 0.0
     need_visual = weights.final_enc != 0.0
     need_decoder = weights.decoder != 0.0
+    need_beam = (weights.ce_teacher != 0.0
+                 or weights.kd_source == "beam_consensus")
+    # teacher-forced forward needed unless consensus KD replaces it AND no
+    # intermediate-activation loss wants the forced pass's byproducts
+    need_forced = (weights.kd_source == "teacher_forced" or need_fmap
+                   or need_visual or need_decoder)
+    if external_teacher_logits and (need_fmap or need_visual or need_decoder
+                                    or need_beam):
+        raise ValueError(
+            "external_teacher_logits (teacher-output caching) supports only "
+            "the kl+ce teacher-forced path; intermediate-activation and "
+            "beam-KD losses need the live teacher in the step")
     taps = TEACHER_TAP_BLOCKS if need_fmap else ()
+    eos = 102  # SEP doubles as teacher pad (reference model.py:487)
 
     def step_fn(state: TrainState, teacher_vars, batch, rng):
         frames, captions = batch["frames"], batch["caption"]
         dropout_rng = jax.random.fold_in(rng, state.step)
 
-        t_logits, t_visual, t_hidden, t_taps = teacher.apply(
-            teacher_vars, frames, captions, taps or None,
-            method=lambda mdl, f, c, b: mdl.forward_output_logits(f, c, b))
-        t_logits = jax.lax.stop_gradient(t_logits)
+        t_logits = t_visual = None
+        t_hidden = t_taps = ()
+        if external_teacher_logits:
+            # frozen-teacher logits replayed from the cache (see
+            # data/teacher_cache.py); bitwise-equal to a live forward
+            t_logits = jax.lax.stop_gradient(batch["teacher_logits"])
+        elif need_forced:
+            t_logits, t_visual, t_hidden, t_taps = teacher.apply(
+                teacher_vars, frames, captions, taps or None,
+                method=lambda mdl, f, c, b: mdl.forward_output_logits(f, c, b))
+            t_logits = jax.lax.stop_gradient(t_logits)
+
+        teacher_tokens = kd_logits = kd_valid = None
+        if need_beam:
+            beam = decode_lib.teacher_beam(
+                teacher, teacher_vars, frames, beam_size=kd_beam_size,
+                max_steps=kd_max_steps, length_penalty=kd_length_penalty)
+            t_len = captions.shape[1]
+            preds = jax.lax.stop_gradient(beam.predictions)  # [B, max_steps]
+            if weights.ce_teacher != 0.0:
+                # loss 5: teacher tokens truncated / SEP-padded to the
+                # student's caption length (reference model.py:946-961)
+                if preds.shape[1] >= t_len:
+                    teacher_tokens = preds[:, :t_len]
+                else:
+                    teacher_tokens = jnp.pad(
+                        preds, ((0, 0), (0, t_len - preds.shape[1])),
+                        constant_values=eos)
+            if weights.kd_source == "beam_consensus":
+                words = preds[:, 1:]                      # [B, steps]
+                has_eos = jnp.any(words == eos, axis=1)
+                first_eos = jnp.argmax(words == eos, axis=1)
+                n_words = jnp.where(has_eos, first_eos, words.shape[1])
+                kd_all, valid_all = decode_lib.teacher_kd_targets(
+                    beam, n_words.astype(jnp.int32))
+                s = min(t_len, kd_all.shape[1])
+                kd_logits = jax.lax.stop_gradient(kd_all[:, :s])
+                kd_valid = valid_all[:, :s]
 
         def loss_fn(params):
             outs, mutated = student.apply(
@@ -165,10 +221,14 @@ def make_train_step(student: StudentCandidateV1, teacher: GITTeacher,
                 student_visual=outs.get("student_visual"),
                 teacher_visual=jax.lax.stop_gradient(t_visual)
                 if need_visual else None,
+                teacher_tokens=teacher_tokens,
+                teacher_kd_logits=kd_logits,
+                teacher_kd_valid=kd_valid,
                 student_hidden_proj=outs.get("hidden_proj"),
                 teacher_hidden=[jax.lax.stop_gradient(h) for h in t_hidden]
                 if need_decoder else None,
-                teacher_prefix_len=t_visual.shape[1],
+                teacher_prefix_len=t_visual.shape[1]
+                if t_visual is not None else 0,
             )
             return losses["total"], (losses, mutated["batch_stats"])
 
@@ -238,13 +298,21 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
           loss_weights: LossWeights = LossWeights(),
           mesh=None, max_epochs: Optional[int] = None,
           use_orbax: bool = True,
-          resume_from: Optional[str] = None
+          resume_from: Optional[str] = None,
+          teacher_cache=None
           ) -> Tuple[TrainState, Dict[str, Any]]:
     """Full distillation run (reference train.py:42-157).
 
     ``resume_from``: path to an orbax checkpoint saved by a previous run —
     restores params, batch stats, optimizer state AND step, so training
-    continues exactly (the reference never restored optimizer state)."""
+    continues exactly (the reference never restored optimizer state).
+
+    ``teacher_cache``: a ``data.teacher_cache.TeacherLogitsCache`` (or a
+    cache-dir string). The frozen teacher's forced logits are computed once
+    per (video, caption) pair and replayed from disk on later epochs —
+    bitwise-equal losses, with the teacher forward (the step's dominant
+    FLOPs) removed from steady-state epochs. Only valid with the default
+    kl+ce loss combination."""
     run_dir = os.path.join(config.logger.save_dir, "run", run_name)
     os.makedirs(run_dir, exist_ok=True)
     logger = RunLogger(run_dir, run_name, config_dump={
@@ -260,7 +328,19 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
 
     student = student or student_from_config(config)
     teacher = teacher or teacher_from_config(config)
-    mesh = mesh or make_mesh(config.tpu.mesh_shape, config.tpu.mesh_axes)
+    if mesh is None:
+        mesh = make_mesh(config.tpu.mesh_shape, config.tpu.mesh_axes)
+        import math
+        bsz = config.train.batch_size
+        dp0, tp0 = mesh.shape.get("dp", 1), mesh.shape.get("tp", 1)
+        if dp0 > 1 and bsz % dp0 != 0:
+            # the default mesh must divide the configured batch — shrink dp
+            # (explicitly, logged) rather than silently un-shard batches
+            dp_new = math.gcd(bsz, dp0)
+            logger.write(f"\nbatch_size {bsz} not divisible by dp={dp0}; "
+                         f"using dp={dp_new} (idle devices: "
+                         f"{dp0 * tp0 - dp_new * tp0})\n")
+            mesh = make_mesh((dp_new, tp0), config.tpu.mesh_axes)
 
     rng = jax.random.PRNGKey(config.seed)
     first = next(iter(train_loader))
@@ -285,7 +365,7 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                      f"{int(state.step)}\n")
     state = state.replace(params=place_params(state.params, mesh),
                           batch_stats=replicate(state.batch_stats, mesh),
-                          opt_state=jax.device_put(state.opt_state))
+                          opt_state=replicate(state.opt_state, mesh))
 
     if teacher_vars is None:
         # random teacher (real weights come from models/convert.py)
@@ -294,8 +374,15 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                                     example["caption"][:1])
     teacher_vars = replicate(teacher_vars, mesh)
 
-    train_step = make_train_step(student, teacher, tx, loss_weights,
-                                 donate=config.tpu.donate_train_state)
+    if isinstance(teacher_cache, str):
+        from .data.teacher_cache import TeacherLogitsCache
+        teacher_cache = TeacherLogitsCache(teacher_cache)
+    train_step = make_train_step(
+        student, teacher, tx, loss_weights,
+        donate=config.tpu.donate_train_state,
+        external_teacher_logits=teacher_cache is not None)
+    teacher_fwd = jax.jit(lambda tv, f, c: teacher.apply(tv, f, c)) \
+        if teacher_cache is not None else None
     timer = StepTimer("train_step")
     epochs = max_epochs or config.train.trainer.max_epochs
     history: Dict[str, Any] = {"train_loss": [], "val_loss": []}
@@ -318,7 +405,36 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
         n_steps = 0
         for batch in train_loader:
             arrays = {"frames": batch["frames"], "caption": batch["caption"]}
-            if dp > 1 and arrays["caption"].shape[0] % dp == 0:
+            if teacher_cache is not None:
+                if "vid-id" not in batch or "caption-id" not in batch:
+                    raise ValueError("teacher_cache needs 'vid-id' and "
+                                     "'caption-id' in each batch")
+                keys = [teacher_cache.key(v, c) for v, c in
+                        zip(batch["vid-id"], batch["caption-id"])]
+                cached = teacher_cache.get_batch(keys)
+                if cached is None:
+                    t_logits = teacher_fwd(teacher_vars, arrays["frames"],
+                                           arrays["caption"])
+                    cached = np.asarray(t_logits, np.float32)
+                    teacher_cache.put_batch(keys, cached)
+                # fp32 both on miss and on hit: one step signature, and
+                # bf16→f32 widening is exact so losses are bitwise-stable
+                arrays["teacher_logits"] = jnp.asarray(cached)
+            if dp > 1:
+                # A ragged tail batch must never silently change placement
+                # (replicated input → different sharding signature →
+                # recompile + a non-dp step). Trim to a dp multiple instead;
+                # prefer drop_last=True loaders so this never fires.
+                bs = int(arrays["caption"].shape[0])
+                usable = (bs // dp) * dp
+                if usable == 0:
+                    raise ValueError(
+                        f"batch of {bs} rows cannot be sharded over dp={dp}; "
+                        f"raise the batch size or shrink the mesh's dp axis")
+                if usable != bs:
+                    logger.write(f"\ntrimming ragged batch {bs} -> {usable} "
+                                 f"for dp={dp} (use drop_last to avoid)\n")
+                    arrays = {k: v[:usable] for k, v in arrays.items()}
                 arrays = shard_batch(arrays, mesh)  # dp-axis placement
             state, m = train_step(state, teacher_vars, arrays, step_rng)
             epoch_losses.append(m["total"])
@@ -383,10 +499,12 @@ def main(argv: Optional[List[str]] = None) -> None:
     splits = {}
     for split in ("train", "validate", "test"):
         ids = data.loc[data["split"] == split, "image_id"].unique()
+        # the reference seeds caption sampling for ALL splits with cfg SEED
+        # (train.py:167-199) — the video→caption pairing is fixed for the
+        # whole run, which also makes the teacher-output cache exact
         ds = CaptionDataset(config.data.videos_path, list(ids), data, encoded,
                             num_frames=config.data.num_frames,
-                            random_state=config.seed
-                            if split != "train" else None)
+                            random_state=config.seed)
         splits[split] = DeviceLoader(
             ds, config.train.batch_size, shuffle=(split == "train"),
             seed=config.seed, drop_last=(split == "train"))
@@ -394,7 +512,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     tokenizer = BertWordPieceTokenizer()
     run_name = time.strftime("%y%m%d_%H%M%S")
     train(config, splits["train"], splits["validate"], splits["test"],
-          tokenizer, run_name=run_name)
+          tokenizer, run_name=run_name,
+          teacher_cache=config.train.teacher_cache_dir or None)
 
 
 if __name__ == "__main__":

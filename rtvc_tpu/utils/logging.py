@@ -33,7 +33,10 @@ class RunLogger:
                 os.environ.setdefault("WANDB_MODE", wandb_mode)
                 self._wandb = wandb.init(project="rtvc_tpu", name=run_name,
                                          dir=run_dir)
-            except Exception:
+            except Exception as e:
+                # requested-but-unavailable must be visible, not silent
+                import warnings
+                warnings.warn(f"wandb logging requested but unavailable: {e}")
                 self._wandb = None
 
         if config_dump is not None:

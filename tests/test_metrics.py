@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 from rtvc_tpu import metrics
 
 
@@ -99,3 +101,137 @@ def test_calculate_score_files(tmp_path):
     assert out["Bleu_4"] > 99.0
     assert (tmp_path / "validation_preds.json").exists()
     assert "Bleu_4" in logfile.read_text()
+
+
+# ---------------------------------------------------------------------------
+# Golden tests: Porter stemmer + metric constants (VERDICT r1 next #4)
+# ---------------------------------------------------------------------------
+
+def test_porter_stem_classic_pairs():
+    """Canonical examples from Porter (1980) / the reference C implementation
+    (2-letter words are returned unchanged, matching the C code's
+    ``if (k <= k0+1) return``)."""
+    from rtvc_tpu.metrics import porter_stem
+
+    pairs = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed", "agreed": "agre",
+        "plastered": "plaster", "bled": "bled", "motoring": "motor",
+        "sing": "sing", "conflated": "conflat", "troubled": "troubl",
+        "sized": "size", "hopping": "hop", "tanned": "tan",
+        "falling": "fall", "hissing": "hiss", "fizzed": "fizz",
+        "failing": "fail", "filing": "file", "happy": "happi", "sky": "sky",
+        "relational": "relat", "conditional": "condit", "rational": "ration",
+        "digitizer": "digit", "differentli": "differ", "vileli": "vile",
+        "vietnamization": "vietnam", "predication": "predic",
+        "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope",
+        "callousness": "callous", "formaliti": "formal",
+        "sensitiviti": "sensit", "sensibiliti": "sensibl",
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+        "goodness": "good", "revival": "reviv", "allowance": "allow",
+        "inference": "infer", "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+        "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt", "communism": "commun",
+        "activate": "activ", "effective": "effect", "bowdlerize": "bowdler",
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll",
+    }
+    for word, want in pairs.items():
+        assert porter_stem(word) == want, (word, porter_stem(word), want)
+
+
+def test_porter_stem_matches_nltk_original():
+    """Exhaustive cross-check against nltk's ORIGINAL_ALGORITHM Porter mode
+    (identical for words of length > 2; length <= 2 follows Porter's C)."""
+    nltk = pytest.importorskip("nltk")
+    ps = nltk.stem.PorterStemmer(mode="ORIGINAL_ALGORITHM")
+    from rtvc_tpu.metrics import porter_stem
+
+    words = set()
+    import os as _os
+    import re as _re
+    for root, _, files in _os.walk(_os.path.dirname(nltk.__file__)):
+        for fn in files:
+            if fn.endswith(".py"):
+                try:
+                    txt = open(_os.path.join(root, fn), errors="ignore").read()
+                except OSError:
+                    continue
+                words.update(_re.findall(r"[a-z]{3,}", txt.lower()))
+        if len(words) > 5000:
+            break
+    assert len(words) > 1000
+    for w in sorted(words)[:5000]:
+        assert porter_stem(w) == ps.stem(w), w
+
+
+def test_bleu_golden_vs_nltk():
+    """coco-style corpus BLEU must agree with nltk's independent
+    implementation when every n-gram precision is positive (the only case
+    the definitions differ is coco's tiny/small zero-smoothing)."""
+    nltk_bleu = pytest.importorskip("nltk.translate.bleu_score")
+    gts = {
+        "1": [["a", "man", "is", "riding", "a", "bike", "down", "the", "road"],
+              ["a", "person", "rides", "a", "bicycle", "on", "a", "street"]],
+        "2": [["a", "dog", "runs", "in", "the", "park", "chasing", "a", "ball"]],
+        "3": [["two", "people", "are", "cooking", "food", "in", "a", "kitchen"]],
+    }
+    res = {
+        "1": ["a", "man", "is", "riding", "a", "bicycle", "down", "the", "street"],
+        "2": ["a", "dog", "runs", "in", "the", "park", "with", "a", "ball"],
+        "3": ["two", "people", "are", "cooking", "in", "a", "small", "kitchen"],
+    }
+    ours = metrics.bleu(gts, res)
+    ids = sorted(gts)
+    for n in range(1, 5):
+        ref = nltk_bleu.corpus_bleu([gts[i] for i in ids],
+                                    [res[i] for i in ids],
+                                    weights=tuple([1.0 / n] * n))
+        assert abs(ours[n - 1] - ref) < 1e-8, (n, ours[n - 1], ref)
+
+
+def test_cider_golden_hand_computed():
+    """CIDEr-D pinned to hand-derived constants (pycocoevalcap definition:
+    clipped tf-idf cosine per n, sigma-6 length gaussian, x10).
+
+    Fixture B, image 1 (ref 'a b c' / cand 'a b d', 2-image corpus so every
+    n-gram idf = log 2): unigram cosine = 2/3, bigram = 1/2, tri/4-gram = 0;
+    image 2 identical 5-token caption → all four sims = 1. CIDEr =
+    (10*(2/3+1/2+0+0)/4 + 10*1)/2 = 6.4583."""
+    gts = {"1": [["a", "b", "c"]], "2": [["f", "g", "h", "i", "j"]]}
+    res = {"1": ["a", "b", "d"], "2": ["f", "g", "h", "i", "j"]}
+    assert abs(metrics.cider(gts, res) - 6.458333333333333) < 1e-12
+    # identical captions, unique n-grams → exactly 10.0
+    gts2 = {"1": [["a", "b", "c", "d", "e"]], "2": [["f", "g", "h", "i", "j"]]}
+    res2 = {"1": ["a", "b", "c", "d", "e"], "2": ["f", "g", "h", "i", "j"]}
+    assert abs(metrics.cider(gts2, res2) - 10.0) < 1e-9
+    # zero overlap → 0
+    gts3 = {"1": [["a", "b", "c"]]}
+    res3 = {"1": ["x", "y", "z"]}
+    assert metrics.cider(gts3, res3) == 0.0
+
+
+def test_rouge_l_golden_hand_computed():
+    """ROUGE-L F(beta=1.2) pinned to hand-derived constants.
+
+    img1: cand 'a b d' vs ref 'a b c': LCS=2, P=R=2/3 → F=2/3.
+    img2 identical → 1. mean = 0.8333. Asymmetric case: cand 'a b' vs
+    ref 'a b c': P=1, R=2/3 → F=(1+1.44)*P*R/(R+1.44*P)=0.77215."""
+    gts = {"1": [["a", "b", "c"]], "2": [["f", "g", "h", "i", "j"]]}
+    res = {"1": ["a", "b", "d"], "2": ["f", "g", "h", "i", "j"]}
+    assert abs(metrics.rouge_l(gts, res) - 5.0 / 6.0) < 1e-12
+    g2 = {"1": [["a", "b", "c"]]}
+    r2 = {"1": ["a", "b"]}
+    want = (2.44 * 1.0 * (2 / 3)) / ((2 / 3) + 1.44 * 1.0)
+    assert abs(metrics.rouge_l(g2, r2) - want) < 1e-12
+
+
+def test_meteor_uses_full_porter_stems():
+    """Stem-stage matches: 'riding'/'rides' share the Porter stem 'ride'."""
+    gts = {"1": [["a", "man", "rides", "a", "bike"]]}
+    res = {"1": ["a", "man", "riding", "a", "bike"]}
+    score = metrics.meteor_lite(gts, res)
+    assert score > 0.9  # all 5 words align (4 exact + 1 stem match)

@@ -83,6 +83,36 @@ def test_train_step_all_losses_enabled(setup):
         assert key in m and np.isfinite(float(m[key])), key
 
 
+def test_train_step_ce_teacher_loss(setup):
+    """Loss 5 wired end-to-end: the step runs the teacher's beam search
+    in-graph and trains on its generated tokens; the loss dict must contain
+    ce_teacher (guarding the silent-skip) and decrease when overfitting."""
+    student, teacher, batch, tx, state, tvars = setup
+    weights = LossWeights(ce_teacher=1.0)
+    step = make_train_step(student, teacher, tx, weights, donate=False,
+                           kd_max_steps=8, kd_beam_size=2)
+    losses = []
+    for _ in range(5):
+        state, m = step(state, tvars, batch, jax.random.PRNGKey(6))
+        assert "ce_teacher" in m
+        losses.append(float(m["ce_teacher"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]  # student moves toward the teacher tokens
+
+
+def test_train_step_beam_consensus_kd(setup):
+    """kd_source='beam_consensus': the KL distills against per-word
+    best-beam teacher logit rows (reference teacher.forward path)."""
+    student, teacher, batch, tx, state, tvars = setup
+    weights = LossWeights(kd_source="beam_consensus")
+    step = make_train_step(student, teacher, tx, weights, donate=False,
+                           kd_max_steps=8, kd_beam_size=2)
+    state, m = step(state, tvars, batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(m["kl"])) and np.isfinite(float(m["total"]))
+    state, m2 = step(state, tvars, batch, jax.random.PRNGKey(7))
+    assert float(m2["total"]) < float(m["total"])
+
+
 def test_data_parallel_sharded_step(setup):
     student, teacher, batch, tx, state, tvars = setup
     mesh = make_mesh((-1, 1))
@@ -165,6 +195,43 @@ def test_full_train_orchestration(tmp_path):
     assert "Validation Results" in text and "BLEU@4" in text
 
 
+def test_ragged_batch_trimmed_not_replicated(tmp_path):
+    """A batch not divisible by dp must be trimmed to a dp multiple (and
+    logged), never silently re-placed as replicated (VERDICT r1 weak #5)."""
+    from rtvc_tpu.config import from_dict
+    from rtvc_tpu.tokenization import BertWordPieceTokenizer
+
+    student, teacher = tiny_pair()
+    config = from_dict({
+        "logger": {"save_dir": str(tmp_path)},
+        "train": {"lr": 1e-3, "batch_size": 6, "trainer": {"max_epochs": 1}},
+        "wandb": {"mode": "disabled"},
+    })
+    tok = BertWordPieceTokenizer()
+    mesh = make_mesh((4, 1))
+
+    def loader(seed, b):
+        return [synth_batch(b=b, seed=seed) | {
+            "vid-id": [f"v{i}" for i in range(b)],
+            "caption-id": list(range(b))}]
+
+    tvars = teacher.init(jax.random.PRNGKey(1),
+                         synth_batch(b=1)["frames"], synth_batch(b=1)["caption"])
+    # train batch of 6 on dp=4 → trimmed to 4, stays dp-sharded
+    _, history = train(config, loader(0, 6) + loader(3, 4),
+                       loader(1, 4), loader(2, 4), tok,
+                       run_name="rag", student=student, teacher=teacher,
+                       teacher_vars=tvars, mesh=mesh, max_epochs=1)
+    assert np.isfinite(history["train_loss"][0])
+    text = (tmp_path / "run" / "rag" / "_results_and_metrics.txt").read_text()
+    assert "trimming ragged batch 6 -> 4" in text
+    # a batch smaller than dp is a hard error, never a silent re-placement
+    with pytest.raises(ValueError, match="cannot be sharded over dp"):
+        train(config, loader(0, 2), loader(1, 4), loader(2, 4), tok,
+              run_name="rag2", student=student, teacher=teacher,
+              teacher_vars=tvars, mesh=mesh, max_epochs=1)
+
+
 def test_checkpoint_resume_roundtrip(tmp_path, setup):
     """Full train-state save/restore → training continues identically."""
     from rtvc_tpu.data.io import restore_checkpoint, save_checkpoint
@@ -218,3 +285,80 @@ def test_train_resume_from(tmp_path):
                       run_name="r2", student=student, teacher=teacher,
                       teacher_vars=tvars, max_epochs=1, resume_from=ckpt)
     assert int(state2.step) == int(state1.step) + 1  # continued, not reset
+
+
+def test_teacher_cache_roundtrip(tmp_path):
+    from rtvc_tpu.data.teacher_cache import TeacherLogitsCache
+
+    cache = TeacherLogitsCache(str(tmp_path / "tc"))
+    keys = [cache.key("vid1", 7), cache.key("vid2", 9)]
+    assert cache.get_batch(keys) is None  # cold miss
+    logits = np.random.default_rng(0).normal(size=(2, 4, 11)).astype(np.float32)
+    cache.put_batch(keys, logits)
+    got = cache.get_batch(keys)
+    np.testing.assert_array_equal(got, logits)
+    # partial miss → None (whole batch recomputes, one step signature)
+    assert cache.get_batch([keys[0], cache.key("vid3", 1)]) is None
+    assert cache.stats()["hits"] == 2
+
+
+def test_teacher_cache_eviction(tmp_path):
+    from rtvc_tpu.data.teacher_cache import TeacherLogitsCache
+
+    row_bytes = 4 * 11 * 4
+    cache = TeacherLogitsCache(str(tmp_path / "tc"),
+                               max_bytes=3 * (row_bytes + 128))
+    for i in range(6):
+        cache.put_batch([cache.key("v", i)],
+                        np.zeros((1, 4, 11), np.float32))
+    remaining = sum(cache.get_batch([cache.key("v", i)]) is not None
+                    for i in range(6))
+    assert remaining < 6  # oldest entries evicted
+    assert cache.get_batch([cache.key("v", 5)]) is not None  # newest kept
+
+
+def test_train_with_teacher_cache_matches_uncached(tmp_path):
+    """Caching must not change training: two 2-epoch runs (cached vs live
+    teacher) produce identical loss histories, and epoch 2 is all hits."""
+    from rtvc_tpu.config import from_dict
+    from rtvc_tpu.data.teacher_cache import TeacherLogitsCache
+    from rtvc_tpu.tokenization import BertWordPieceTokenizer
+
+    tok = BertWordPieceTokenizer()
+
+    def loader(seed):
+        return [synth_batch(b=4, seed=seed) | {
+            "vid-id": [f"v{i}" for i in range(4)],
+            "caption-id": list(range(4))}]
+
+    def run(cache):
+        student, teacher = tiny_pair()
+        config = from_dict({
+            "logger": {"save_dir": str(tmp_path / ("c" if cache else "n"))},
+            "train": {"lr": 1e-3, "batch_size": 4,
+                      "trainer": {"max_epochs": 2}},
+            "wandb": {"mode": "disabled"},
+        })
+        tvars = teacher.init(jax.random.PRNGKey(1), synth_batch(b=1)["frames"],
+                             synth_batch(b=1)["caption"])
+        _, hist = train(config, loader(0), loader(1), loader(2), tok,
+                        run_name="x", student=student, teacher=teacher,
+                        teacher_vars=tvars, max_epochs=2,
+                        teacher_cache=cache)
+        return hist
+
+    cache = TeacherLogitsCache(str(tmp_path / "tcache"))
+    hist_cached = run(cache)
+    hist_live = run(None)
+    np.testing.assert_allclose(hist_cached["train_loss"],
+                               hist_live["train_loss"], rtol=1e-5)
+    # epoch 1: 4 misses; epoch 2: 4 hits (fixed vid→caption pairing)
+    assert cache.stats()["hits"] >= 4 and cache.stats()["misses"] >= 4
+
+
+def test_external_logits_rejects_activation_losses():
+    student, teacher = tiny_pair()
+    tx = optax.adam(1e-3)
+    with pytest.raises(ValueError, match="caching"):
+        make_train_step(student, teacher, tx, LossWeights(fmap=1.0),
+                        external_teacher_logits=True)
