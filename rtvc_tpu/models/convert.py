@@ -53,6 +53,18 @@ def _linear(sd: StateDict, prefix: str, used: set) -> Dict[str, Array]:
     return out
 
 
+def _packed_qkv(sd: StateDict, prefixes: Tuple[str, str, str],
+                used: set) -> Dict[str, Array]:
+    """Pack three torch Linears (query, key, value) into one fused-QKV
+    Dense: kernels concat along the output axis in q|k|v column order
+    (matches ``BertLayer.qkv``; see git_teacher.py)."""
+    parts = [_linear(sd, p, used) for p in prefixes]
+    out = {"kernel": np.concatenate([p["kernel"] for p in parts], axis=1)}
+    if all("bias" in p for p in parts):
+        out["bias"] = np.concatenate([p["bias"] for p in parts])
+    return out
+
+
 def _norm(sd: StateDict, prefix: str, used: set) -> Dict[str, Array]:
     used.update({prefix + ".weight", prefix + ".bias"})
     return {"scale": _t(sd[prefix + ".weight"]),
@@ -208,9 +220,9 @@ def git_teacher_params_from_torch(sd: StateDict, num_layers: int = 6,
     for i in range(num_layers):
         base = f"textual.transformer.encoder.layer.{i}"
         tx[f"layer_{i}"] = {
-            "query": _linear(sd, f"{base}.attention.self.query", used),
-            "key": _linear(sd, f"{base}.attention.self.key", used),
-            "value": _linear(sd, f"{base}.attention.self.value", used),
+            "qkv": _packed_qkv(sd, (f"{base}.attention.self.query",
+                                    f"{base}.attention.self.key",
+                                    f"{base}.attention.self.value"), used),
             "attn_out": _linear(sd, f"{base}.attention.output.dense", used),
             "attn_norm": _norm(sd, f"{base}.attention.output.LayerNorm", used),
             "inter": _linear(sd, f"{base}.intermediate.dense", used),

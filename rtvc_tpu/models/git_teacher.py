@@ -79,9 +79,11 @@ class BertLayer(nn.Module):
 
     def setup(self):
         dense = QuantDense if self.quantized else nn.Dense
-        self.query = dense(self.hidden, dtype=self.dtype)
-        self.key = dense(self.hidden, dtype=self.dtype)
-        self.value = dense(self.hidden, dtype=self.dtype)
+        # One fused QKV GEMM (not HF BERT's three separate Denses): a single
+        # [L, H] x [H, 3H] matmul keeps the MXU busy with one large tile
+        # sweep instead of three small ones and reads x from HBM once.
+        # convert.py packs torch query|key|value into this column order.
+        self.qkv = dense(3 * self.hidden, dtype=self.dtype)
         self.attn_out = dense(self.hidden, dtype=self.dtype)
         self.attn_norm = FusedLayerNorm(epsilon=1e-12, dtype=self.dtype)
         self.inter = dense(self.ffn, dtype=self.dtype)
@@ -100,9 +102,8 @@ class BertLayer(nn.Module):
     def __call__(self, x: jnp.ndarray, *, prefix_len: int,
                  kv_mask: Optional[jnp.ndarray] = None,
                  deterministic: bool = True) -> jnp.ndarray:
-        q = self._heads(self.query(x))
-        k = self._heads(self.key(x))
-        v = self._heads(self.value(x))
+        qp, kp, vp = jnp.split(self.qkv(x), 3, axis=-1)
+        q, k, v = self._heads(qp), self._heads(kp), self._heads(vp)
         ctx = multi_head_attention(q, k, v, causal=True,
                                    prefix_len=prefix_len, kv_mask=kv_mask)
         h = self.attn_out(self._merge(ctx))
@@ -119,8 +120,8 @@ class BertLayer(nn.Module):
         ``max_text`` slots for text tokens."""
         b, p, _ = visual.shape
         head_dim = self.hidden // self.heads
-        k_vis = self._heads(self.key(visual))
-        v_vis = self._heads(self.value(visual))
+        _, k_p, v_p = jnp.split(self.qkv(visual), 3, axis=-1)
+        k_vis, v_vis = self._heads(k_p), self._heads(v_p)
         pad = jnp.zeros((b, self.heads, max_text, head_dim), self.dtype)
         return {
             "k": jnp.concatenate([k_vis, pad], axis=2),
@@ -131,9 +132,8 @@ class BertLayer(nn.Module):
                     prefix_len: int, hidden_in_cache_order: bool = True
                     ) -> Tuple[jnp.ndarray, Cache]:
         """x: [B, 1, hidden] text token at text position ``text_index``."""
-        q = self._heads(self.query(x))
-        k_new = self._heads(self.key(x))
-        v_new = self._heads(self.value(x))
+        q_p, k_p, v_p = jnp.split(self.qkv(x), 3, axis=-1)
+        q, k_new, v_new = self._heads(q_p), self._heads(k_p), self._heads(v_p)
         slot = prefix_len + text_index
         k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_new, slot, axis=2)
         v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_new, slot, axis=2)

@@ -108,39 +108,48 @@ def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 # ---------------------------------------------------------------------------
 
 def _make_kernel(scale: float, causal: bool, prefix_len: int, block_q: int,
-                 lkv_valid: int):
+                 lkv_valid: int, masked_kv: bool, block_h: int):
     from jax.experimental import pallas as pl  # deferred: CPU tests may lack TPU
 
     def kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref):
         bi = pl.program_id(0)
         qi = pl.program_id(2)
-        q = q_ref[0, 0].astype(jnp.float32)           # [block_q, D]
-        k = k_ref[0, 0].astype(jnp.float32)           # [Lkv, D]
-        v = v_ref[0, 0].astype(jnp.float32)           # [Lkv, D]
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [block_q, Lkv]
+        # Unrolled loop over the heads in this block: at short sequences
+        # (CLIP's 257 tokens) one (batch, head, q-block) is a few
+        # microseconds of work, so per-grid-step overhead dominates —
+        # processing block_h heads per step amortizes it.
+        for hh in range(block_h):
+            q = q_ref[0, hh].astype(jnp.float32)       # [block_q, D]
+            k = k_ref[0, hh].astype(jnp.float32)       # [Lkv, D]
+            v = v_ref[0, hh].astype(jnp.float32)       # [Lkv, D]
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [block_q, Lkv]
 
-        lq_b, lkv = scores.shape
-        k_idx = jax.lax.broadcasted_iota(jnp.int32, (lq_b, lkv), 1)
-        valid = k_idx < lkv_valid                      # mask tile padding
-        if causal:
-            q_idx = jax.lax.broadcasted_iota(jnp.int32, (lq_b, lkv), 0)
-            q_idx = q_idx + qi * block_q
-            allowed = (k_idx < prefix_len) | (k_idx <= q_idx)
-            valid = valid & allowed
-        kvm = kvm_ref[pl.ds(bi, 1), :] > 0             # [1, Lkv] key-validity
-        valid = valid & kvm
-        scores = jnp.where(valid, scores, _NEG_INF)
+            lq_b, lkv = scores.shape
+            k_idx = jax.lax.broadcasted_iota(jnp.int32, (lq_b, lkv), 1)
+            valid = k_idx < lkv_valid                  # mask tile padding
+            if causal:
+                q_idx = jax.lax.broadcasted_iota(jnp.int32, (lq_b, lkv), 0)
+                q_idx = q_idx + qi * block_q
+                allowed = (k_idx < prefix_len) | (k_idx <= q_idx)
+                valid = valid & allowed
+            if masked_kv:
+                kvm = kvm_ref[pl.ds(bi, 1), :] > 0     # [1, Lkv] key-validity
+                valid = valid & kvm
+            scores = jnp.where(valid, scores, _NEG_INF)
 
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        z = jnp.sum(e, axis=-1, keepdims=True)
-        probs = e / z
-        out = jax.lax.dot_general(
-            probs, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [block_q, D]
-        o_ref[0, 0] = out.astype(o_ref.dtype)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            # Padded/masked columns have scores = -1e30, so e underflows to
+            # an exact 0.0 — any garbage in physically-padded V rows is
+            # multiplied by zero and cannot reach valid outputs.
+            z = jnp.sum(e, axis=-1, keepdims=True)
+            probs = e / z
+            out = jax.lax.dot_general(
+                probs, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [block_q, D]
+            o_ref[0, hh] = out.astype(o_ref.dtype)
 
     return kernel
 
@@ -148,58 +157,73 @@ def _make_kernel(scale: float, causal: bool, prefix_len: int, block_q: int,
 def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       kv_mask: Optional[jnp.ndarray], *, causal: bool,
                       prefix_len: int, scale: float,
-                      block_q: int = 128, interpret: bool = False) -> jnp.ndarray:
+                      block_q: int = 256, interpret: bool = False) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, lq, d = q.shape
     lkv = k.shape[2]
-    # Keep the head dim UNPADDED: TPU block specs allow a last-dim block
-    # equal to the full array dim, and the MXU handles a 64/72-wide
-    # contraction internally — padding to 128 would double HBM traffic and
-    # QK/PV FLOPs (measured 2x kernel-time regression at CLIP shapes).
-    dp = d
-    lqp = _round_up(max(lq, 8), block_q)
-    lkvp = _round_up(max(lkv, 128), 128)
-
-    qp = _pad_to(q, lqp, 2)
-    kp = _pad_to(k, lkvp, 2)
-    vp = _pad_to(v, lkvp, 2)
+    # ZERO host-side copies: Q/K/V/O keep their exact logical shapes and
+    # Mosaic's partial-block handling supplies the tile padding (last q
+    # block may be partial — its out-of-range rows are garbage the masked
+    # write drops; K/V tile padding is masked by the lkv iota above). The
+    # previous jnp.pad/slice approach re-materialized all of Q, K, V and O
+    # in HBM (~190 MB per CLIP encode at batch 48) just to align tiles.
+    # Head dim D stays unpadded too: a full-dim minor block is always legal
+    # and the MXU handles a 64-wide contraction internally.
+    # Pick the q-block to MINIMIZE partial-block waste, not to hit a fixed
+    # power of two: lq=257 with block 256 would run a second block that is
+    # 99.6% padding (2x the kernel work); instead use ceil(lq/nblocks)
+    # rounded to the 8-row sublane, e.g. 257 -> one 264-row block,
+    # 1582 -> four 400-row blocks.
+    n_blocks = max(1, -(-lq // block_q))
+    block_q = _round_up(-(-lq // n_blocks), 8)
+    # Heads per grid step: as many as fit a conservative VMEM budget (the
+    # f32 score matrix + exp intermediates dominate; K/V/Q tiles are small).
+    per_head = (2.5 * block_q * lkv * 4
+                + (block_q + 2 * lkv) * d * q.dtype.itemsize)
+    block_h = max(1, min(h, int(6e6 // per_head)))
+    while h % block_h:  # keep full blocks (divisor of h)
+        block_h -= 1
+    grid = (b, h // block_h, -(-lq // block_q))
+    kernel = _make_kernel(scale, causal, prefix_len, block_q, lkv,
+                          masked_kv=kv_mask is not None, block_h=block_h)
     if kv_mask is None:
-        kvm = jnp.ones((b, lkvp), jnp.int32)
+        kvm = jnp.ones((1, 1), jnp.int32)  # placeholder, never read
+        kvm_spec = pl.BlockSpec((1, 1), lambda bi, hi, qi: (0, 0),
+                                memory_space=pltpu.VMEM)
     else:
-        kvm = _pad_to(kv_mask.astype(jnp.int32), lkvp, 1)
-
-    grid = (b, h, lqp // block_q)
-    kernel = _make_kernel(scale, causal, prefix_len, block_q, lkv)
+        kvm = kv_mask.astype(jnp.int32)
+        # full-array block (kernel indexes its row via program_id): a
+        # (1, Lkv) block would violate the (8, 128) tile rule
+        kvm_spec = pl.BlockSpec((b, lkv), lambda bi, hi, qi: (0, 0),
+                                memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, dp), lambda bi, hi, qi: (bi, hi, qi, 0),
+            pl.BlockSpec((1, block_h, block_q, d),
+                         lambda bi, hi, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lkvp, dp), lambda bi, hi, qi: (bi, hi, 0, 0),
+            pl.BlockSpec((1, block_h, lkv, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lkvp, dp), lambda bi, hi, qi: (bi, hi, 0, 0),
+            pl.BlockSpec((1, block_h, lkv, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            # full-array block (kernel indexes its row via program_id): a
-            # (1, Lkv) block would violate the (8, 128) tile rule
-            pl.BlockSpec((b, lkvp), lambda bi, hi, qi: (0, 0),
-                         memory_space=pltpu.VMEM),
+            kvm_spec,
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, dp),
+        out_specs=pl.BlockSpec((1, block_h, block_q, d),
                                lambda bi, hi, qi: (bi, hi, qi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, lqp, dp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * lqp * lkvp * dp,
-            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
-            transcendentals=b * h * lqp * lkvp,
+            flops=4 * b * h * lq * lkv * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * lq * lkv,
         ),
         interpret=interpret,
-    )(qp, kp, vp, kvm)
-    return out[:, :, :lq, :d]
+    )(q, k, v, kvm)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -257,10 +281,20 @@ def _on_tpu() -> bool:
 
 
 # Pallas pays off when the KV context is long enough that avoiding the HBM
-# round-trip of the [Lq, Lkv] score matrix beats the tile-padding overhead.
-# Profiling on v5e: at CLIP shapes (Lkv 257, D 64 → padded 384x128) the
-# kernel + its input pads cost ~45% of the teacher encode, while XLA wins;
-# at the joint text context (Lkv ~1582) the kernel is 1.5x faster than XLA.
+# round-trip of the [Lq, Lkv] score matrix beats what pallas_call costs the
+# surrounding program. Two v5e A/Bs disagree and the IN-CONTEXT one wins:
+# - op-level (scripts/profile_attention.py, scan-isolated device time):
+#   zero-copy kernel + waste-minimizing q blocks + head-blocked grid wins
+#   2.1x at CLIP shapes (48x16x257x64: 0.75 vs 1.57 ms) and 2.6x at the
+#   joint context (8x12x1582x64: 1.8 vs 4.7 ms);
+# - whole-program (scripts/ab_teacher_attention.py, full teacher fwd B8):
+#   min_kv_len 192 -> 171.7 ms, 512 -> 149.7 ms, XLA-only -> 152.7 ms.
+# In context, XLA fuses the (b,l,h,d)->(b,h,l,d) head transposes into its
+# attention einsums, while an opaque pallas_call forces Q/K/V to be
+# materialized in the transposed layout first — at CLIP sizes (24 layers x
+# 75 MB) those copies cost more than the kernel saves. So Pallas only runs
+# where the score matrix is big enough to dominate: the 1582-token joint
+# teacher context. The student's tiny decode/cross shapes also stay XLA.
 PALLAS_MIN_KV_LEN = 512
 
 

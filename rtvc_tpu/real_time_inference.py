@@ -85,12 +85,16 @@ class StreamingCaptioner:
         self.max_len = max_len
         self.timer = StepTimer("caption")
 
-        def step(frames_u8):
+        def step(variables, frames_u8):
+            # variables is a jit ARGUMENT: closing over the param tree
+            # would inline ~254 MB of constants into the program, bloating
+            # the (remote) compile payload for zero runtime benefit.
             proc = clip_preprocess(frames_u8)          # [W, 224, 224, 3]
             return decode_lib.student_greedy(
                 student, variables, proc[None], max_len=max_len)
 
-        self._step = jax.jit(step)
+        self._jit_step = jax.jit(step)
+        self._step = lambda f: self._jit_step(self.variables, f)
         if frame_shape is not None:
             self.warmup(frame_shape)
 

@@ -261,11 +261,18 @@ def evaluate(student, variables, loader, tokenizer, logger: RunLogger,
     (reference model.py:1006-1102)."""
     all_bleu: List[float] = []
     outputs: List[dict] = []
+    # Two phases so decode dispatches pipeline on-device instead of
+    # serializing on host-side detokenize/BLEU between batches (the same
+    # fetch-per-step stall the train loop avoids; tokens are tiny int
+    # arrays, so holding every batch's result on device is free).
+    pending: List[Tuple[Any, np.ndarray, Any]] = []
     for batch in loader:
         y = np.asarray(batch["caption"])
         max_len = int(y.shape[-1]) + max_len_extra  # model.py:1010
         tokens = decode_lib.student_greedy(student, variables,
                                            batch["frames"], max_len=max_len)
+        pending.append((tokens, y, batch["vid-id"]))
+    for tokens, y, vid_ids in pending:
         tokens = np.asarray(tokens)
         preds = [tokenizer.decode(t, skip_special_tokens=True) for t in tokens]
         caps = [tokenizer.decode(c, skip_special_tokens=True) for c in y]
@@ -277,7 +284,7 @@ def evaluate(student, variables, loader, tokenizer, logger: RunLogger,
             print(f"Student Predictions: {preds}")
             print(f"BLEU@4: {bleu4}")
         logger.log_epoch_transcript(split, epoch, caps_wrapped, preds, bleu4)
-        for vid, pred in zip(batch["vid-id"], preds):
+        for vid, pred in zip(vid_ids, preds):
             outputs.append({"image_id": str(vid), "caption": pred})
     mean_bleu = float(np.mean(all_bleu)) if all_bleu else 0.0
     if annotations:

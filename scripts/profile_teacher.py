@@ -70,14 +70,18 @@ def main():
     jax.block_until_ready(tvars)
     print(f"init: {time.perf_counter() - t0:.1f}s")
 
+    def fetch(out):
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(leaf if leaf.ndim == 0 else leaf[..., 0], np.float32)
+
     def bench(name, fn, inputs, flops=None):
-        """Pipelined: dispatch all reps with distinct inputs, fetch last."""
-        out = fn(inputs[0])
-        np.asarray(jax.tree.leaves(out)[0][..., 0], dtype=np.float32)
+        """Pipelined: dispatch all reps with distinct inputs, fetch each
+        (one ~27 ms tunnel RTT is amortized over the pipelined reps)."""
+        fetch(fn(inputs[0]))
         t0 = time.perf_counter()
         outs = [fn(x) for x in inputs]
         for o in outs:
-            np.asarray(jax.tree.leaves(o)[0][..., 0], dtype=np.float32)
+            fetch(o)
         dt = (time.perf_counter() - t0) / len(inputs)
         tf = f"  {flops / dt / 1e12:6.1f} TFLOP/s" if flops else ""
         print(f"{name:28s} {dt * 1e3:8.2f} ms{tf}")
@@ -87,24 +91,29 @@ def main():
     frame_inputs = [jnp.asarray(rng.normal(size=frames.shape),
                                 jnp.float32) for _ in range(reps)]
 
+    # NOTE: tvars must be a jit ARGUMENT, never a closure — closed-over
+    # param trees become inline constants and the 788 MB constant payload
+    # breaks the axon remote-compile RPC (observed: 30-min hang, then
+    # "remote_compile ... Broken pipe").
+
     # 1. CLIP tower alone
-    clip_fn = jax.jit(lambda f: teacher.apply(
-        tvars, f, method=lambda m, x: m.encode_only(x)))
+    clip_jit = jax.jit(lambda tv, f: teacher.apply(
+        tv, f, method=lambda m, x: m.encode_only(x)))
+    clip_fn = lambda f: clip_jit(tvars, f)
     bench("clip encode (48 imgs)", clip_fn, frame_inputs,
           flops_clip(batch * 6, cfg.clip))
 
     # 2. textual head alone (teacher-forced)
     visual = clip_fn(frame_inputs[0])
     vis_inputs = [visual + i * 1e-6 for i in range(reps)]
-    tex_fn = jax.jit(lambda v: teacher.apply(
-        tvars, v, caps,
-        method=lambda m, v_, c_: m.textual(v_, c_)[0]))
-    bench("textual fwd (P=1542,T=40)", tex_fn, vis_inputs,
+    tex_jit = jax.jit(lambda tv, v: teacher.apply(
+        tv, v, caps, method=lambda m, v_, c_: m.textual(v_, c_)[0]))
+    bench("textual fwd (P=1542,T=40)", lambda v: tex_jit(tvars, v), vis_inputs,
           flops_textual(batch, 1542, t_len, cfg))
 
     # 3. full teacher-forced forward
-    full_fn = jax.jit(lambda f: teacher.apply(tvars, f, caps))
-    bench("teacher fwd full", full_fn, frame_inputs,
+    full_jit = jax.jit(lambda tv, f: teacher.apply(tv, f, caps))
+    bench("teacher fwd full", lambda f: full_jit(tvars, f), frame_inputs,
           flops_clip(batch * 6, cfg.clip)
           + flops_textual(batch, 1542, t_len, cfg))
 

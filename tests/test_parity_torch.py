@@ -73,9 +73,9 @@ def test_bert_layer_parity():
 
     used = set()
     params = {
-        "query": convert._linear(sd, "textual.transformer.encoder.layer.0.attention.self.query", used),
-        "key": convert._linear(sd, "textual.transformer.encoder.layer.0.attention.self.key", used),
-        "value": convert._linear(sd, "textual.transformer.encoder.layer.0.attention.self.value", used),
+        "qkv": convert._packed_qkv(
+            sd, tuple(f"textual.transformer.encoder.layer.0.attention.self.{n}"
+                      for n in ("query", "key", "value")), used),
         "attn_out": convert._linear(sd, "textual.transformer.encoder.layer.0.attention.output.dense", used),
         "attn_norm": convert._norm(sd, "textual.transformer.encoder.layer.0.attention.output.LayerNorm", used),
         "inter": convert._linear(sd, "textual.transformer.encoder.layer.0.intermediate.dense", used),
