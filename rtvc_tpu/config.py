@@ -109,6 +109,10 @@ class TrainConfig:
     # seed makes the (video, caption) pairing constant across epochs
     # (dataloader.py:66 + train.py:167-199), so teacher outputs are reusable.
     teacher_cache_dir: str = ""
+    # 0 = greedy eval (the reference's validation path, model.py:1006);
+    # > 0 = evaluate with the student's k-beam search instead (the
+    # reference implemented beam search but never evaluated with it).
+    eval_beam_size: int = 0
 
 
 @dataclass(frozen=True)

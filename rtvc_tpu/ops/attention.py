@@ -41,15 +41,6 @@ import jax.numpy as jnp
 _NEG_INF = -1e30
 
 
-def _pad_to(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
-    pad = size - x.shape[axis]
-    if pad <= 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
-
-
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -107,12 +98,87 @@ def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 # Pallas fused attention
 # ---------------------------------------------------------------------------
 
+def _dropout_bits(seed, bi, ghi, qi, shape, block_q):
+    """Counter-based uniform uint32 per attention-matrix element, from the
+    GLOBAL (seed, batch, head, query-row, key-col) coordinates — so the
+    backward kernel regenerates a bit-identical mask regardless of how
+    either pass blocked the grid, and no [Lq, Lkv] mask tensor ever exists
+    in HBM. Plain vector integer ops (murmur3-style fmix) run identically
+    on the TPU VPU and in interpret mode (pltpu.prng_seed has no CPU
+    lowering in this jax version)."""
+    rows, cols = shape
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(
+        qi * block_q)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = (r * jnp.uint32(0x9E3779B1)) ^ (c * jnp.uint32(0x85EBCA77))
+    x = x ^ (seed.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+    x = x ^ (jnp.uint32(bi) * jnp.uint32(0x27D4EB2F)
+             + jnp.uint32(ghi) * jnp.uint32(0x165667B1))
+    x ^= x >> 16
+    x *= jnp.uint32(0x85EBCA6B)
+    x ^= x >> 13
+    x *= jnp.uint32(0xC2B2AE35)
+    x ^= x >> 16
+    return x
+
+
+def _block_probs(k_ref, v_ref, kvm_ref, q, hh, bi, qi, *, scale, causal,
+                 prefix_len, block_q, lkv_valid, masked_kv, dropout_rate,
+                 seed_ref, ghi):
+    """Shared fwd/bwd block computation: masked softmax probabilities for one
+    (batch, head, q-block), plus the dropout-applied variant."""
+    import jax.experimental.pallas as pl
+
+    k = k_ref[0, hh].astype(jnp.float32)               # [Lkv, D]
+    v = v_ref[0, hh].astype(jnp.float32)               # [Lkv, D]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale    # [block_q, Lkv]
+
+    lq_b, lkv = scores.shape
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (lq_b, lkv), 1)
+    valid = k_idx < lkv_valid                          # mask tile padding
+    if causal:
+        q_idx = jax.lax.broadcasted_iota(jnp.int32, (lq_b, lkv), 0)
+        q_idx = q_idx + qi * block_q
+        allowed = (k_idx < prefix_len) | (k_idx <= q_idx)
+        valid = valid & allowed
+    if masked_kv:
+        kvm = kvm_ref[pl.ds(bi, 1), :] > 0             # [1, Lkv] key-validity
+        valid = valid & kvm
+    scores = jnp.where(valid, scores, _NEG_INF)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    # Padded/masked columns have scores = -1e30, so e underflows to an
+    # exact 0.0 — any garbage in physically-padded V rows is multiplied
+    # by zero and cannot reach valid outputs.
+    z = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / z
+
+    if dropout_rate > 0.0:
+        bits = _dropout_bits(seed_ref[0], bi, ghi, qi, (lq_b, lkv), block_q)
+        thresh = jnp.uint32(int(dropout_rate * (2 ** 32)))
+        keep = bits >= thresh
+        probs_used = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    else:
+        probs_used = probs
+    return probs, probs_used, k, v
+
+
 def _make_kernel(scale: float, causal: bool, prefix_len: int, block_q: int,
-                 lkv_valid: int, masked_kv: bool, block_h: int):
+                 lkv_valid: int, masked_kv: bool, block_h: int,
+                 dropout_rate: float = 0.0):
     from jax.experimental import pallas as pl  # deferred: CPU tests may lack TPU
 
-    def kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref):
+    def kernel(*refs):
+        if dropout_rate > 0.0:
+            seed_ref, q_ref, k_ref, v_ref, kvm_ref, o_ref = refs
+        else:
+            q_ref, k_ref, v_ref, kvm_ref, o_ref = refs
+            seed_ref = None
         bi = pl.program_id(0)
+        hi = pl.program_id(1)
         qi = pl.program_id(2)
         # Unrolled loop over the heads in this block: at short sequences
         # (CLIP's 257 tokens) one (batch, head, q-block) is a few
@@ -120,32 +186,12 @@ def _make_kernel(scale: float, causal: bool, prefix_len: int, block_q: int,
         # processing block_h heads per step amortizes it.
         for hh in range(block_h):
             q = q_ref[0, hh].astype(jnp.float32)       # [block_q, D]
-            k = k_ref[0, hh].astype(jnp.float32)       # [Lkv, D]
-            v = v_ref[0, hh].astype(jnp.float32)       # [Lkv, D]
-            scores = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # [block_q, Lkv]
-
-            lq_b, lkv = scores.shape
-            k_idx = jax.lax.broadcasted_iota(jnp.int32, (lq_b, lkv), 1)
-            valid = k_idx < lkv_valid                  # mask tile padding
-            if causal:
-                q_idx = jax.lax.broadcasted_iota(jnp.int32, (lq_b, lkv), 0)
-                q_idx = q_idx + qi * block_q
-                allowed = (k_idx < prefix_len) | (k_idx <= q_idx)
-                valid = valid & allowed
-            if masked_kv:
-                kvm = kvm_ref[pl.ds(bi, 1), :] > 0     # [1, Lkv] key-validity
-                valid = valid & kvm
-            scores = jnp.where(valid, scores, _NEG_INF)
-
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            # Padded/masked columns have scores = -1e30, so e underflows to
-            # an exact 0.0 — any garbage in physically-padded V rows is
-            # multiplied by zero and cannot reach valid outputs.
-            z = jnp.sum(e, axis=-1, keepdims=True)
-            probs = e / z
+            _, probs, _, v = _block_probs(
+                k_ref, v_ref, kvm_ref, q, hh, bi, qi,
+                scale=scale, causal=causal, prefix_len=prefix_len,
+                block_q=block_q, lkv_valid=lkv_valid, masked_kv=masked_kv,
+                dropout_rate=dropout_rate, seed_ref=seed_ref,
+                ghi=hi * block_h + hh)
             out = jax.lax.dot_general(
                 probs, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)    # [block_q, D]
@@ -154,9 +200,28 @@ def _make_kernel(scale: float, causal: bool, prefix_len: int, block_q: int,
     return kernel
 
 
+def _block_geometry(lq: int, lkv: int, d: int, h: int, itemsize: int,
+                    block_q: int, max_block_h: Optional[int] = None):
+    """(block_q, block_h) used by BOTH fwd and bwd kernels — the dropout
+    PRNG is seeded per (batch, global-head, q-block), so the q-block
+    decomposition must be identical in the two passes."""
+    n_blocks = max(1, -(-lq // block_q))
+    block_q = _round_up(-(-lq // n_blocks), 8)
+    per_head = (2.5 * block_q * lkv * 4
+                + (block_q + 2 * lkv) * d * itemsize)
+    block_h = max(1, min(h, int(6e6 // per_head)))
+    if max_block_h is not None:
+        block_h = min(block_h, max_block_h)
+    while h % block_h:  # keep full blocks (divisor of h)
+        block_h -= 1
+    return block_q, block_h
+
+
 def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       kv_mask: Optional[jnp.ndarray], *, causal: bool,
                       prefix_len: int, scale: float,
+                      dropout_rate: float = 0.0,
+                      seed: Optional[jnp.ndarray] = None,
                       block_q: int = 256, interpret: bool = False) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -175,19 +240,15 @@ def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # power of two: lq=257 with block 256 would run a second block that is
     # 99.6% padding (2x the kernel work); instead use ceil(lq/nblocks)
     # rounded to the 8-row sublane, e.g. 257 -> one 264-row block,
-    # 1582 -> four 400-row blocks.
-    n_blocks = max(1, -(-lq // block_q))
-    block_q = _round_up(-(-lq // n_blocks), 8)
-    # Heads per grid step: as many as fit a conservative VMEM budget (the
-    # f32 score matrix + exp intermediates dominate; K/V/Q tiles are small).
-    per_head = (2.5 * block_q * lkv * 4
-                + (block_q + 2 * lkv) * d * q.dtype.itemsize)
-    block_h = max(1, min(h, int(6e6 // per_head)))
-    while h % block_h:  # keep full blocks (divisor of h)
-        block_h -= 1
+    # 1582 -> four 400-row blocks. block_h = heads per grid step: as many
+    # as fit a conservative VMEM budget (the f32 score matrix + exp
+    # intermediates dominate; K/V/Q tiles are small).
+    block_q, block_h = _block_geometry(lq, lkv, d, h, q.dtype.itemsize,
+                                       block_q)
     grid = (b, h // block_h, -(-lq // block_q))
     kernel = _make_kernel(scale, causal, prefix_len, block_q, lkv,
-                          masked_kv=kv_mask is not None, block_h=block_h)
+                          masked_kv=kv_mask is not None, block_h=block_h,
+                          dropout_rate=dropout_rate)
     if kv_mask is None:
         kvm = jnp.ones((1, 1), jnp.int32)  # placeholder, never read
         kvm_spec = pl.BlockSpec((1, 1), lambda bi, hi, qi: (0, 0),
@@ -199,19 +260,27 @@ def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         kvm_spec = pl.BlockSpec((b, lkv), lambda bi, hi, qi: (0, 0),
                                 memory_space=pltpu.VMEM)
 
+    in_specs = [
+        pl.BlockSpec((1, block_h, block_q, d),
+                     lambda bi, hi, qi: (bi, hi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_h, lkv, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_h, lkv, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        kvm_spec,
+    ]
+    inputs = [q, k, v, kvm]
+    if dropout_rate > 0.0:
+        if seed is None:
+            raise ValueError("dropout_rate > 0 requires a seed")
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.insert(0, seed.astype(jnp.int32).reshape(1))
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_h, block_q, d),
-                         lambda bi, hi, qi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_h, lkv, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_h, lkv, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            kvm_spec,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_h, block_q, d),
                                lambda bi, hi, qi: (bi, hi, qi, 0),
                                memory_space=pltpu.VMEM),
@@ -222,42 +291,173 @@ def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             transcendentals=b * h * lq * lkv,
         ),
         interpret=interpret,
-    )(q, k, v, kvm)
+    )(*inputs)
     return out
 
 
 # ---------------------------------------------------------------------------
-# Public entry with custom VJP (pallas fwd, recompute bwd)
+# Pallas backward kernel (flash backward: recompute probs, closed-form grads)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash(q, k, v, kv_mask, causal, prefix_len, scale):
+def _make_bwd_kernel(scale: float, causal: bool, prefix_len: int,
+                     block_q: int, lkv_valid: int, masked_kv: bool,
+                     dropout_rate: float, lq_valid: int):
+    from jax.experimental import pallas as pl
+
+    def kernel(*refs):
+        if dropout_rate > 0.0:
+            (seed_ref, q_ref, k_ref, v_ref, g_ref, kvm_ref,
+             dq_ref, dk_ref, dv_ref) = refs
+        else:
+            (q_ref, k_ref, v_ref, g_ref, kvm_ref,
+             dq_ref, dk_ref, dv_ref) = refs
+            seed_ref = None
+        bi = pl.program_id(0)
+        hi = pl.program_id(1)
+        qi = pl.program_id(2)
+
+        # dK/dV accumulate across the q-blocks of one (batch, head): the
+        # grid iterates qi innermost, so the accumulator block stays
+        # resident in VMEM between revisits.
+        @pl.when(qi == 0)
+        def _init():
+            dk_ref[...] = jnp.zeros_like(dk_ref)
+            dv_ref[...] = jnp.zeros_like(dv_ref)
+
+        q = q_ref[0, 0].astype(jnp.float32)            # [block_q, D]
+        # Zero the padded rows of the last (partial) q block FIRST: their
+        # loads are unspecified (NaN in interpret mode) and 0 * NaN = NaN
+        # would poison the dK accumulation even through zeroed dS rows.
+        lq_b = q.shape[0]
+        row_ok = (jax.lax.broadcasted_iota(jnp.int32, (lq_b, 1), 0)
+                  + qi * block_q) < lq_valid
+        q = jnp.where(row_ok, q, 0.0)
+        # block_h is pinned to 1 in the backward pass, so the global head
+        # index is just hi — matching the forward's (seed, b, head, qblock)
+        # PRNG tuple bit-for-bit.
+        probs, probs_used, k, v = _block_probs(
+            k_ref, v_ref, kvm_ref, q, 0, bi, qi,
+            scale=scale, causal=causal, prefix_len=prefix_len,
+            block_q=block_q, lkv_valid=lkv_valid, masked_kv=masked_kv,
+            dropout_rate=dropout_rate, seed_ref=seed_ref, ghi=hi)
+        g = g_ref[0, 0].astype(jnp.float32)            # [block_q, D]
+
+        # Same for the probs/grad rows: unlike the forward (where garbage
+        # rows only write garbage rows that the masked write drops), here
+        # they would contaminate the dK/dV accumulators.
+        probs = jnp.where(row_ok, probs, 0.0)
+        probs_used = jnp.where(row_ok, probs_used, 0.0)
+        g = jnp.where(row_ok, g, 0.0)
+
+        # out = drop(P) V;  dV = drop(P)^T dO;  dP~ = dO V^T
+        dv = jax.lax.dot_general(probs_used, g, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp_used = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            # dP = dP~ * M / (1-rate). M only matters where P > 0 (dS has
+            # a P factor), and there M == (drop(P) > 0) — so the kept-mask
+            # is recovered without touching the PRNG again.
+            dp = jnp.where(probs_used > 0.0, dp_used / (1.0 - dropout_rate),
+                           0.0)
+        else:
+            dp = dp_used
+        # softmax VJP: dS = P * (dP - rowsum(P * dP))
+        ds = probs * (dp - jnp.sum(probs * dp, axis=-1, keepdims=True))
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dq_ref[0, 0] = dq
+        dk_ref[0, 0] += dk
+        dv_ref[0, 0] += dv
+
+    return kernel
+
+
+def _pallas_attention_bwd(q, k, v, kv_mask, g, *, causal: bool,
+                          prefix_len: int, scale: float,
+                          dropout_rate: float = 0.0,
+                          seed: Optional[jnp.ndarray] = None,
+                          block_q: int = 256, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, lq, d = q.shape
+    lkv = k.shape[2]
+    block_q, _ = _block_geometry(lq, lkv, d, h, q.dtype.itemsize, block_q)
+    grid = (b, h, -(-lq // block_q))
+    kernel = _make_bwd_kernel(scale, causal, prefix_len, block_q, lkv,
+                              masked_kv=kv_mask is not None,
+                              dropout_rate=dropout_rate, lq_valid=lq)
+    if kv_mask is None:
+        kvm = jnp.ones((1, 1), jnp.int32)  # placeholder, never read
+        kvm_spec = pl.BlockSpec((1, 1), lambda bi, hi, qi: (0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        kvm = kv_mask.astype(jnp.int32)
+        kvm_spec = pl.BlockSpec((b, lkv), lambda bi, hi, qi: (0, 0),
+                                memory_space=pltpu.VMEM)
+
+    qspec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, 1, lkv, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [qspec, kvspec, kvspec, qspec, kvm_spec]
+    inputs = [q, k, v, g, kvm]
+    if dropout_rate > 0.0:
+        if seed is None:
+            raise ValueError("dropout_rate > 0 requires a seed")
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.insert(0, seed.astype(jnp.int32).reshape(1))
+
+    f32 = jnp.float32  # accumulate dK/dV exactly; cast to input dtype after
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[qspec, kvspec, kvspec],
+        out_shape=[jax.ShapeDtypeStruct((b, h, lq, d), f32),
+                   jax.ShapeDtypeStruct((b, h, lkv, d), f32),
+                   jax.ShapeDtypeStruct((b, h, lkv, d), f32)],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * lq * lkv * d,
+            bytes_accessed=(q.size * 2 + k.size * 2 + v.size * 2) * 4,
+            transcendentals=b * h * lq * lkv,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Public entry with custom VJP (pallas fwd, pallas bwd)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash(q, k, v, kv_mask, seed, causal, prefix_len, scale, dropout_rate):
     return _pallas_attention(q, k, v, kv_mask, causal=causal,
-                             prefix_len=prefix_len, scale=scale)
+                             prefix_len=prefix_len, scale=scale,
+                             dropout_rate=dropout_rate, seed=seed,
+                             interpret=not _on_tpu())
 
 
-def _flash_fwd(q, k, v, kv_mask, causal, prefix_len, scale):
+def _flash_fwd(q, k, v, kv_mask, seed, causal, prefix_len, scale,
+               dropout_rate):
     out = _pallas_attention(q, k, v, kv_mask, causal=causal,
-                            prefix_len=prefix_len, scale=scale)
-    return out, (q, k, v, kv_mask)
+                            prefix_len=prefix_len, scale=scale,
+                            dropout_rate=dropout_rate, seed=seed,
+                            interpret=not _on_tpu())
+    return out, (q, k, v, kv_mask, seed)
 
 
-def _flash_bwd(causal, prefix_len, scale, residuals, g):
-    q, k, v, kv_mask = residuals
-    # Recompute probs in fp32 and differentiate in closed form (XLA fuses).
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    scores = scores + _mask_bias(q.shape[2], k.shape[2], causal, prefix_len,
-                                 kv_mask)
-    probs = jax.nn.softmax(scores, axis=-1)
-    g32 = g.astype(jnp.float32)
-    v32 = v.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", probs, g32)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v32)
-    dscores = probs * (dp - jnp.sum(probs * dp, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", dscores, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", dscores, q.astype(jnp.float32)) * scale
-    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None)
+def _flash_bwd(causal, prefix_len, scale, dropout_rate, residuals, g):
+    q, k, v, kv_mask, seed = residuals
+    dq, dk, dv = _pallas_attention_bwd(
+        q, k, v, kv_mask, g, causal=causal, prefix_len=prefix_len,
+        scale=scale, dropout_rate=dropout_rate, seed=seed,
+        interpret=not _on_tpu())
+    return (dq, dk, dv, None, None)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -266,11 +466,29 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     causal: bool = False, prefix_len: int = 0,
                     kv_mask: Optional[jnp.ndarray] = None,
-                    scale: Optional[float] = None) -> jnp.ndarray:
-    """Fused attention; q,k,v: [B, H, L, D]. Pallas on TPU."""
+                    scale: Optional[float] = None,
+                    dropout_rate: float = 0.0,
+                    dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Fused attention; q,k,v: [B, H, L, D]. Pallas on TPU (interpret mode
+    elsewhere — production CPU paths route to xla_attention upstream).
+
+    ``dropout_rate`` > 0 applies attention-probs dropout INSIDE the kernel
+    via the TPU per-core PRNG; the backward kernel regenerates the identical
+    mask from the same (seed, batch, head, q-block) tuple, so no [Lq, Lkv]
+    mask tensor is ever materialized (the reference applied dropout inside
+    cuDNN SDPA, reference model.py:75-78 via nn.TransformerDecoderLayer).
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _flash(q, k, v, kv_mask, causal, prefix_len, float(scale))
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 requires dropout_rng")
+        seed = jax.random.randint(dropout_rng, (1,), 0,
+                                  jnp.iinfo(jnp.int32).max, jnp.int32)
+    else:
+        seed = None
+    return _flash(q, k, v, kv_mask, seed, causal, prefix_len, float(scale),
+                  float(dropout_rate))
 
 
 def _on_tpu() -> bool:
@@ -312,23 +530,26 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                          dropout_rate: float = 0.0,
                          dropout_rng: Optional[jax.Array] = None,
                          use_pallas: Optional[bool] = None) -> jnp.ndarray:
-    """Dispatching MHA: Pallas fused kernel on TPU (no attention-dropout,
-    no arbitrary bias), XLA fallback elsewhere.
+    """Dispatching MHA: Pallas fused kernel on TPU for long-KV shapes
+    (including attention-probs dropout, handled by the in-kernel PRNG and
+    the matching backward kernel), XLA elsewhere.
 
-    The reference applied dropout inside SDPA (torch default). Here
-    attention-probs dropout and learned additive biases route to the XLA
-    path (XLA fuses these fine at window-attention sizes); the Pallas kernel
-    covers the long-sequence decoder/teacher paths.
+    The reference applied dropout inside SDPA (torch default). Learned
+    additive biases (TinyViT window attention) route to the XLA path —
+    XLA fuses those fine at window sizes; so do the student's short
+    sequences (see PALLAS_MIN_KV_LEN).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     wants_dropout = dropout_rate > 0.0 and dropout_rng is not None
     if use_pallas is None:
-        use_pallas = (_on_tpu() and not wants_dropout and bias is None
+        use_pallas = (_on_tpu() and bias is None
                       and k.shape[2] >= PALLAS_MIN_KV_LEN)
     if use_pallas:
-        return flash_attention(q, k, v, causal=causal, prefix_len=prefix_len,
-                               kv_mask=kv_mask, scale=scale)
+        return flash_attention(
+            q, k, v, causal=causal, prefix_len=prefix_len, kv_mask=kv_mask,
+            scale=scale, dropout_rate=dropout_rate if wants_dropout else 0.0,
+            dropout_rng=dropout_rng)
     return xla_attention(q, k, v, causal=causal, prefix_len=prefix_len,
                          kv_mask=kv_mask, bias=bias, scale=scale,
                          dropout_rate=dropout_rate if wants_dropout else 0.0,

@@ -6,6 +6,11 @@ from .mesh import (
     place_params,
     data_parallel_shardings,
 )
+from .multihost import (
+    initialize_distributed,
+    host_batch_slice,
+    shard_host_local_batch,
+)
 
 __all__ = [
     "make_mesh",
@@ -14,4 +19,7 @@ __all__ = [
     "param_shardings",
     "place_params",
     "data_parallel_shardings",
+    "initialize_distributed",
+    "host_batch_slice",
+    "shard_host_local_batch",
 ]

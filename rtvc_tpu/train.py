@@ -256,9 +256,15 @@ def make_eval_step(student: StudentCandidateV1, max_len: int):
 def evaluate(student, variables, loader, tokenizer, logger: RunLogger,
              epoch: int, split: str, max_len_extra: int = 5,
              annotations: Optional[Dict[str, List[str]]] = None,
-             verbose: bool = True) -> Tuple[float, List[dict]]:
+             verbose: bool = True,
+             beam_size: int = 0) -> Tuple[float, List[dict]]:
     """Validation/test epoch: greedy decode, BLEU-4, transcripts, COCO accum
-    (reference model.py:1006-1102)."""
+    (reference model.py:1006-1102).
+
+    ``beam_size > 0`` evaluates with the student's beam search instead of
+    greedy — the reference implemented beam search (model.py:189-317) but
+    never wired it into evaluation; here it is one knob
+    (``cfg.train.eval_beam_size``)."""
     all_bleu: List[float] = []
     outputs: List[dict] = []
     # Two phases so decode dispatches pipeline on-device instead of
@@ -269,8 +275,14 @@ def evaluate(student, variables, loader, tokenizer, logger: RunLogger,
     for batch in loader:
         y = np.asarray(batch["caption"])
         max_len = int(y.shape[-1]) + max_len_extra  # model.py:1010
-        tokens = decode_lib.student_greedy(student, variables,
-                                           batch["frames"], max_len=max_len)
+        if beam_size > 0:
+            tokens = decode_lib.student_beam(student, variables,
+                                             batch["frames"],
+                                             max_len=max_len, k=beam_size)
+        else:
+            tokens = decode_lib.student_greedy(student, variables,
+                                               batch["frames"],
+                                               max_len=max_len)
         pending.append((tokens, y, batch["vid-id"]))
     for tokens, y, vid_ids in pending:
         tokens = np.asarray(tokens)
@@ -457,7 +469,8 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                           "batch_stats": state.batch_stats}
         val_bleu, _ = evaluate(student, inference_vars, val_loader, tokenizer,
                                logger, epoch, "Validation",
-                               annotations=annotations)
+                               annotations=annotations,
+                               beam_size=config.train.eval_beam_size)
         history["val_loss"].append(val_bleu)
         new_lr = sched.update(val_bleu)  # quirk preserved: min-mode on BLEU
         state = state.replace(opt_state=set_lr(state.opt_state, new_lr))
@@ -477,9 +490,14 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
     test_bleu, test_outputs = evaluate(
         student, {"params": state.params, "batch_stats": state.batch_stats},
         test_loader, tokenizer, logger, epochs, "Test",
-        annotations=annotations)
+        annotations=annotations, beam_size=config.train.eval_beam_size)
     history["test_loss"] = test_bleu
     history["timing"] = timer.summary()
+    # one avg-step-time entry per epoch: epoch 1 vs 2 shows the
+    # teacher-cache effect (miss + live teacher vs replay-only steps)
+    history["epoch_step_ms"] = [d * 1e3 for d in timer.durations]
+    if teacher_cache is not None:
+        history["teacher_cache"] = teacher_cache.stats()
     logger.finish()
     return state, history
 

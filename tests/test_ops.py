@@ -247,3 +247,141 @@ def test_quantized_teacher_close_to_float():
     # argmax agreement on most positions
     agree = float(jnp.mean(jnp.argmax(f_logits, -1) == jnp.argmax(q_logits, -1)))
     assert agree >= 0.75, agree
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernel + in-kernel dropout (interpret mode)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("causal,prefix,lq,lkv", [
+    (True, 0, 40, 45),      # student decoder self-attention shape class
+    (True, 30, 62, 62),     # teacher joint prefix-causal (scaled down)
+    (False, 0, 130, 140),   # cross / bidirectional with partial q block
+])
+def test_pallas_bwd_matches_xla_vjp(causal, prefix, lq, lkv):
+    """Grad parity: the pallas backward kernel == XLA's VJP of the same
+    masked-softmax attention (VERDICT round-1 item #9)."""
+    from rtvc_tpu.ops.attention import _pallas_attention_bwd
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(4), lq=lq, lkv=lkv, d=24)
+    kv_mask = jnp.arange(lkv)[None, :] < jnp.array([[lkv], [lkv - 9]])
+    scale = 24 ** -0.5
+
+    with jax.default_matmul_precision("highest"):
+        def f(q, k, v):
+            return xla_attention(q, k, v, causal=causal, prefix_len=prefix,
+                                 kv_mask=kv_mask, scale=scale)
+
+        out, vjp = jax.vjp(f, q, k, v)
+        g = jax.random.normal(jax.random.PRNGKey(5), out.shape, out.dtype)
+        want_dq, want_dk, want_dv = vjp(g)
+        got_dq, got_dk, got_dv = _pallas_attention_bwd(
+            q, k, v, kv_mask, g, causal=causal, prefix_len=prefix,
+            scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_dq), np.asarray(want_dq),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_dk), np.asarray(want_dk),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_dv), np.asarray(want_dv),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_pallas_dropout_deterministic_and_scaled():
+    """Same seed -> identical output; mask respects the keep-probability
+    scale (kept entries match the no-dropout probs / (1-rate) structure)."""
+    from rtvc_tpu.ops.attention import _pallas_attention
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(6), lq=32, lkv=48, d=16)
+    seed = jnp.asarray([1234], jnp.int32)
+    kwargs = dict(causal=False, prefix_len=0, scale=16 ** -0.5,
+                  dropout_rate=0.4, seed=seed, interpret=True)
+    o1 = _pallas_attention(q, k, v, None, **kwargs)
+    o2 = _pallas_attention(q, k, v, None, **kwargs)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    o3 = _pallas_attention(q, k, v, None, causal=False, prefix_len=0,
+                           scale=16 ** -0.5, dropout_rate=0.4,
+                           seed=jnp.asarray([99], jnp.int32), interpret=True)
+    assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 1e-4
+
+
+def test_pallas_dropout_rate_statistics():
+    """With uniform V = identity-ish rows, the fraction of dropped prob mass
+    matches the rate (loose bound, large sample)."""
+    from rtvc_tpu.ops.attention import _pallas_attention
+
+    b, h, l, d = 2, 2, 64, 16
+    q = jnp.zeros((b, h, l, d))
+    k = jnp.zeros((b, h, l, d))
+    v = jnp.ones((b, h, l, d))
+    # uniform probs 1/l each; dropout keeps ~ (1-rate) of columns, each
+    # scaled by 1/(1-rate) -> E[out] = 1, per-row variance ~ rate/(l-ish)
+    rate = 0.3
+    out = _pallas_attention(q, k, v, None, causal=False, prefix_len=0,
+                            scale=1.0, dropout_rate=rate,
+                            seed=jnp.asarray([7], jnp.int32), interpret=True)
+    mean = float(jnp.mean(out))
+    assert abs(mean - 1.0) < 0.05, mean
+    # kept-column count per row ~ Binomial(l, 1-rate): check global fraction
+    probs_kept = float(jnp.mean(out > 0))
+    assert probs_kept > 0.9  # rows average many kept columns
+
+
+def test_pallas_dropout_bwd_is_vjp_of_fwd():
+    """The backward kernel with dropout is the true VJP of the forward with
+    the SAME regenerated mask: directional finite differences agree."""
+    from rtvc_tpu.ops.attention import (_pallas_attention,
+                                        _pallas_attention_bwd)
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(8), b=1, h=2, lq=24, lkv=24, d=8)
+    q64, k64, v64 = (x.astype(jnp.float32) for x in (q, k, v))
+    seed = jnp.asarray([42], jnp.int32)
+    rate, scale = 0.25, 8 ** -0.5
+
+    def f(q_, k_, v_):
+        return _pallas_attention(q_, k_, v_, None, causal=True, prefix_len=0,
+                                 scale=scale, dropout_rate=rate, seed=seed,
+                                 interpret=True)
+
+    with jax.default_matmul_precision("highest"):
+        out = f(q64, k64, v64)
+        g = jax.random.normal(jax.random.PRNGKey(9), out.shape)
+        dq, dk, dv = _pallas_attention_bwd(
+            q64, k64, v64, None, g, causal=True, prefix_len=0, scale=scale,
+            dropout_rate=rate, seed=seed, interpret=True)
+        eps = 1e-3
+        rngs = jax.random.split(jax.random.PRNGKey(10), 3)
+        for x, dx, name, i in ((q64, dq, "dq", 0), (k64, dk, "dk", 1),
+                               (v64, dv, "dv", 2)):
+            u = jax.random.normal(rngs[i], x.shape)
+            args = [q64, k64, v64]
+            args_p = list(args); args_p[i] = x + eps * u
+            args_m = list(args); args_m[i] = x - eps * u
+            fd = float(jnp.sum((f(*args_p) - f(*args_m)).astype(jnp.float32)
+                               * g) / (2 * eps))
+            an = float(jnp.sum(dx * u))
+            assert abs(fd - an) < 3e-2 * max(1.0, abs(an)), (name, fd, an)
+
+
+def test_flash_attention_grad_path():
+    """flash_attention end-to-end under jax.grad (interpret on CPU), with
+    and without dropout."""
+    from rtvc_tpu.ops.attention import flash_attention
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(11), b=1, h=2, lq=16, lkv=16, d=8)
+
+    def loss(q, k, v):
+        out = flash_attention(q, k, v, causal=True)
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert jnp.all(jnp.isfinite(g)) and float(jnp.abs(g).max()) > 0
+
+    def loss_drop(q, k, v):
+        out = flash_attention(q, k, v, causal=True, dropout_rate=0.2,
+                              dropout_rng=jax.random.PRNGKey(12))
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss_drop, argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert jnp.all(jnp.isfinite(g)) and float(jnp.abs(g).max()) > 0

@@ -362,3 +362,54 @@ def test_external_logits_rejects_activation_losses():
     with pytest.raises(ValueError, match="caching"):
         make_train_step(student, teacher, tx, LossWeights(fmap=1.0),
                         external_teacher_logits=True)
+
+
+def test_evaluate_with_beam_size(tmp_path):
+    """eval_beam_size > 0 routes evaluation through the student's beam
+    search (ROADMAP #13; the reference never evaluated with beam)."""
+    from rtvc_tpu.config import from_dict
+    from rtvc_tpu.tokenization import BertWordPieceTokenizer
+    from rtvc_tpu.train import evaluate
+    from rtvc_tpu.utils.logging import RunLogger
+
+    student, _ = tiny_pair()
+    batch = synth_batch(b=2, seed=0) | {"vid-id": ["v0", "v1"],
+                                        "caption-id": [0, 1]}
+    variables = student.init(jax.random.PRNGKey(0), batch["frames"],
+                             batch["caption"], method=student.full_init)
+    tok = BertWordPieceTokenizer()
+    logger = RunLogger(str(tmp_path), "beam_eval", config_dump={},
+                       use_wandb=False)
+    bleu_b, out_b = evaluate(student, variables, [batch], tok, logger, 0,
+                             "Validation", verbose=False, beam_size=2)
+    bleu_g, out_g = evaluate(student, variables, [batch], tok, logger, 0,
+                             "Validation", verbose=False, beam_size=0)
+    assert len(out_b) == 2 and len(out_g) == 2
+    assert np.isfinite(bleu_b) and np.isfinite(bleu_g)
+
+
+def test_multihost_host_batch_slice():
+    from rtvc_tpu.parallel import host_batch_slice
+
+    assert host_batch_slice(32, 0, 4) == (0, 8)
+    assert host_batch_slice(32, 3, 4) == (24, 32)
+    with pytest.raises(ValueError):
+        host_batch_slice(30, 0, 4)
+
+
+def test_multihost_shard_host_local_single_process():
+    """world_size=1 path: shard_host_local_batch == shard_batch placement."""
+    from rtvc_tpu.parallel import make_mesh, shard_host_local_batch
+
+    mesh = make_mesh((8, 1), ("dp", "tp"))
+    batch = {"frames": np.ones((8, 2, 8, 8, 3), np.float32),
+             "caption": np.zeros((8, 5), np.int32)}
+    placed = shard_host_local_batch(batch, mesh)
+    assert placed["frames"].sharding.spec[0] == "dp"
+    assert placed["frames"].shape == (8, 2, 8, 8, 3)
+
+
+def test_initialize_distributed_single_host_noop():
+    from rtvc_tpu.parallel import initialize_distributed
+
+    assert initialize_distributed() is False  # sandbox: one host, no env
