@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.attention import multi_head_attention
-from ..ops.layernorm import FusedLayerNorm
+from ..ops.layernorm import FusedAddLayerNorm, FusedLayerNorm
 from ..ops.quantization import QuantDense
 
 
@@ -110,9 +110,13 @@ class ResidualAttentionBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dense = QuantDense if self.quantized else nn.Dense
         h = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
-        x = x + CLIPAttention(self.width, self.heads, self.dtype,
-                              self.quantized, name="attn")(h)
-        h = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
+        attn_out = CLIPAttention(self.width, self.heads, self.dtype,
+                                 self.quantized, name="attn")(h)
+        # fused residual-add + pre-LN: the sum feeds the mlp residual AND
+        # the norm feeds the mlp input — one HBM pass for both on TPU
+        # (ops/layernorm.py; same 'ln_2' param tree as the plain module)
+        x, h = FusedAddLayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                 name="ln_2")(x, attn_out)
         h = dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(h)
         h = quick_gelu(h)
         h = dense(self.width, dtype=self.dtype, name="mlp_proj")(h)

@@ -24,7 +24,13 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
-    cfg = GITConfig(dtype=jnp.bfloat16)
+    from rtvc_tpu.models.clip_vit import clip_vit_l14_config
+
+    # NB: clip needs its own dtype — GITConfig(dtype=...) covers only the
+    # textual head; the default clip config is f32 (a round-2 profiling
+    # bug: early teacher-encode numbers ran the CLIP tower in f32)
+    cfg = GITConfig(dtype=jnp.bfloat16,
+                    clip=clip_vit_l14_config(dtype=jnp.bfloat16))
     teacher = GITTeacher(cfg)
     frames = jnp.zeros((batch, 6, 224, 224, 3), jnp.float32)
     caps = jnp.zeros((batch, 40), jnp.int32)
@@ -39,10 +45,9 @@ def main():
         leaf = jax.tree.leaves(out)[0]
         np.asarray(leaf if leaf.ndim == 0 else leaf[..., 0], np.float32)
 
-    # thresholds: 192 = pallas for CLIP(257)+joint(1582); 512 = joint only
-    # (round-1 default); 10**9 = XLA everywhere
-    for thresh in (192, 512, 10**9):
-        A.set_pallas_min_kv_len(thresh)
+    from rtvc_tpu.ops import layernorm as L
+
+    def run(label):
         full = jax.jit(lambda tv, f: teacher.apply(tv, f, caps))
         fetch(full(tvars, frame_inputs[0]))  # compile
         t0 = time.perf_counter()
@@ -50,7 +55,20 @@ def main():
         for o in outs:
             fetch(o)
         dt = (time.perf_counter() - t0) / reps
-        print(f"min_kv_len={thresh:>10}  teacher fwd {dt * 1e3:8.2f} ms")
+        print(f"{label:42s} teacher fwd {dt * 1e3:8.2f} ms")
+
+    if "--add-ln" in sys.argv:
+        # residual-add+LN kernel A/B at the production threshold
+        for flag in (False, True, False):
+            L.set_pallas_add_ln(flag)
+            run(f"add_ln_kernel={flag}")
+        return
+
+    # thresholds: 192 = pallas for CLIP(257)+joint(1582); 512 = joint only
+    # (round-1 default); 10**9 = XLA everywhere
+    for thresh in (192, 512, 10**9):
+        A.set_pallas_min_kv_len(thresh)
+        run(f"min_kv_len={thresh}")
 
 
 if __name__ == "__main__":

@@ -59,7 +59,12 @@ def main():
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     t_len = 40
 
-    cfg = GITConfig(dtype=jnp.bfloat16)
+    from rtvc_tpu.models.clip_vit import clip_vit_l14_config
+
+    # clip carries its own dtype: GITConfig(dtype=...) covers only the
+    # textual head (production teacher_from_config passes both)
+    cfg = GITConfig(dtype=jnp.bfloat16,
+                    clip=clip_vit_l14_config(dtype=jnp.bfloat16))
     teacher = GITTeacher(cfg)
     frames = jnp.zeros((batch, 6, 224, 224, 3), jnp.float32)
     caps = jnp.zeros((batch, t_len), jnp.int32)

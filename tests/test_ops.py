@@ -385,3 +385,38 @@ def test_flash_attention_grad_path():
     grads = jax.grad(loss_drop, argnums=(0, 1, 2))(q, k, v)
     for g in grads:
         assert jnp.all(jnp.isfinite(g)) and float(jnp.abs(g).max()) > 0
+
+
+def test_fused_add_layer_norm_parity():
+    """Pallas (interpret) add+LN == reference (x + d -> LN) for both
+    outputs, plus gradient parity through the custom VJP."""
+    from rtvc_tpu.ops.layernorm import (_ln_reference, _pallas_add_ln,
+                                        fused_add_layer_norm)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(37, 96)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(37, 96)), jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(96,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(96,)), jnp.float32)
+
+    y_p, h_p = _pallas_add_ln(x, d, scale, bias, 1e-5, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(x + d),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(h_p), np.asarray(_ln_reference(x + d, scale, bias, 1e-5)),
+        atol=1e-5, rtol=1e-5)
+
+    # grads through the XLA fallback path (production CPU route)
+    def loss(x, d, scale, bias):
+        y, h = fused_add_layer_norm(x, d, scale, bias, use_pallas=False)
+        return jnp.sum(y * h)
+
+    def loss_ref(x, d, scale, bias):
+        y = x + d
+        return jnp.sum(y * _ln_reference(y, scale, bias, 1e-5))
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3))(x, d, scale, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, d, scale, bias)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
