@@ -143,6 +143,33 @@ def main():
         return m["total"]
     bench("train step (KL+CE)", step_fn, frame_inputs)
 
+    # ---- scan-isolated PURE DEVICE times --------------------------------
+    # The pipelined per-rep-fetch numbers above have a ~30 ms fetch-RTT
+    # floor (what a training loop experiences over the tunnel); these are
+    # the hardware-comparable times (docs/PERF.md §4).
+    def scan_time(make_out, x0, n=6):
+        def run(n_iters):
+            def f_impl(tv, x):
+                def body(carry, _):
+                    o = make_out(tv, x + carry.astype(x.dtype))
+                    return jnp.sum(o.astype(jnp.float32))[None] * 1e-12, ()
+                return jax.lax.scan(body, jnp.zeros((1,), jnp.float32),
+                                    None, length=n_iters)[0]
+            f = jax.jit(f_impl)
+            np.asarray(f(tvars, x0))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                np.asarray(f(tvars, x0))
+            return (time.perf_counter() - t0) / 3
+        return (run(1 + n) - run(1)) / n * 1e3
+
+    dev_full = scan_time(lambda tv, f: teacher.apply(tv, f, caps),
+                         frame_inputs[0], n=4)
+    flops = (flops_clip(batch * 6, cfg.clip)
+             + flops_textual(batch, 1542, t_len, cfg))
+    print(f"{'teacher fwd full (device)':28s} {dev_full:8.2f} ms  "
+          f"{flops / (dev_full / 1e3) / 1e12:6.1f} TFLOP/s")
+
 
 if __name__ == "__main__":
     main()
