@@ -109,6 +109,11 @@ class TrainConfig:
     # seed makes the (video, caption) pairing constant across epochs
     # (dataloader.py:66 + train.py:167-199), so teacher outputs are reusable.
     teacher_cache_dir: str = ""
+    # 0 = cache full-vocab logits (bitwise-exact replay); K > 0 = store
+    # only each position's top-K (logit, index) pairs — ~240x smaller at
+    # K=128, replayed as a renormalized truncated distribution (approximate;
+    # data/teacher_cache.py). Use when the device link is upload-bound.
+    teacher_cache_top_k: int = 0
     # 0 = greedy eval (the reference's validation path, model.py:1006);
     # > 0 = evaluate with the student's k-beam search instead (the
     # reference implemented beam search but never evaluated with it).

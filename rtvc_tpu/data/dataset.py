@@ -35,6 +35,26 @@ import numpy as np
 from .video_handlers import get_evenly_sampled_frames
 
 
+def load_clip_frames(data_path: str, vid_id: str,
+                     num_frames: int) -> np.ndarray:
+    """Decode one clip's evenly-sampled frames (module-level so a process
+    pool can run it; touches only cv2/numpy — safe in worker processes)."""
+    mp4 = os.path.join(data_path, vid_id + ".mp4")
+    npy = os.path.join(data_path, vid_id + ".npy")
+    if os.path.exists(mp4):
+        raw = get_evenly_sampled_frames(mp4, num_frames)
+    elif os.path.exists(npy):
+        clip = np.load(npy)
+        stride = max(len(clip) // num_frames, 1)
+        raw = clip[np.arange(0, len(clip), stride)[:num_frames]]
+    else:
+        raise FileNotFoundError(f"no clip for {vid_id} in {data_path}")
+    # redundant second stride subsample, preserved (dataloader.py:78)
+    n = raw.shape[0]
+    idx = np.arange(0, n, max(n // num_frames, 1))[:num_frames]
+    return raw[idx]
+
+
 class CaptionDataset:
     """Video → (frames, encoded caption) items (dataloader.py:35-82)."""
 
@@ -53,20 +73,19 @@ class CaptionDataset:
         return len(self.vid_ids)
 
     def _load_frames(self, vid_id: str) -> np.ndarray:
-        mp4 = os.path.join(self.data_path, vid_id + ".mp4")
-        npy = os.path.join(self.data_path, vid_id + ".npy")
-        if os.path.exists(mp4):
-            raw = get_evenly_sampled_frames(mp4, self.num_frames)
-        elif os.path.exists(npy):
-            clip = np.load(npy)
-            stride = max(len(clip) // self.num_frames, 1)
-            raw = clip[np.arange(0, len(clip), stride)[:self.num_frames]]
-        else:
-            raise FileNotFoundError(f"no clip for {vid_id} in {self.data_path}")
-        # redundant second stride subsample, preserved (dataloader.py:78)
-        n = raw.shape[0]
-        idx = np.arange(0, n, max(n // self.num_frames, 1))[:self.num_frames]
-        return raw[idx]
+        return load_clip_frames(self.data_path, vid_id, self.num_frames)
+
+    def item_meta(self, idx: int) -> Dict[str, Any]:
+        """Caption lookup only (no frame decode) — the process-pool path
+        keeps the seeded pandas sampling in the parent so worker count
+        never changes which caption pairs with which video."""
+        vid_id = self.vid_ids[idx]
+        caption_ids = self.data.loc[self.data["image_id"] == vid_id, "id"]
+        caption_id = caption_ids.sample(
+            n=1, random_state=self.random_state).iloc[0]
+        encoded = np.asarray(self.encoded_caption_data[caption_id], np.int32)
+        return {"caption": encoded, "caption-id": caption_id,
+                "vid-id": vid_id}
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         vid_id = self.vid_ids[idx]
@@ -111,10 +130,15 @@ class DeviceLoader:
                  shuffle: bool = False, seed: int = 0,
                  max_text_len: int = 40, mesh=None,
                  preprocess: bool = True, prefetch_depth: int = 2,
-                 drop_last: bool = False):
+                 drop_last: bool = False, num_workers: int = 0):
         # drop_last defaults False like torch DataLoader (the reference's
         # loaders kept tail batches); pass True for jit-hot training loops
         # to avoid a recompile on the ragged final batch.
+        # num_workers > 0 decodes a batch's clips in a process pool
+        # (ROADMAP #9) — cv2 releases the GIL, but a single producer thread
+        # still serializes per-clip decode on real mp4s; workers fan the
+        # decode across cores. Caption sampling stays in the parent
+        # (item_meta), so worker count never changes the data.
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -124,7 +148,22 @@ class DeviceLoader:
         self.preprocess = preprocess
         self.prefetch_depth = prefetch_depth
         self.drop_last = drop_last
+        self.num_workers = num_workers
+        self._pool = None
         self._epoch = 0
+
+    def _decode_pool(self):
+        if self._pool is None:
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
+
+            # spawn (not fork): the parent holds jax/TPU-client state that
+            # must not leak into decode workers; children import only
+            # cv2/numpy via load_clip_frames
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("spawn"))
+        return self._pool
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -141,7 +180,16 @@ class DeviceLoader:
             idxs = order[start:start + self.batch_size]
             if self.drop_last and len(idxs) < self.batch_size:
                 return
-            items = [self.dataset[int(i)] for i in idxs]
+            if self.num_workers > 0:
+                metas = [self.dataset.item_meta(int(i)) for i in idxs]
+                futures = [self._decode_pool().submit(
+                    load_clip_frames, self.dataset.data_path,
+                    self.dataset.vid_ids[int(i)], self.dataset.num_frames)
+                    for i in idxs]
+                items = [meta | {"frames": fut.result()}
+                         for meta, fut in zip(metas, futures)]
+            else:
+                items = [self.dataset[int(i)] for i in idxs]
             yield collate_batch(items, self.max_text_len)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:

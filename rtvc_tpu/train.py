@@ -395,7 +395,8 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
 
     if isinstance(teacher_cache, str):
         from .data.teacher_cache import TeacherLogitsCache
-        teacher_cache = TeacherLogitsCache(teacher_cache)
+        teacher_cache = TeacherLogitsCache(
+            teacher_cache, top_k=config.train.teacher_cache_top_k)
     train_step = make_train_step(
         student, teacher, tx, loss_weights,
         donate=config.tpu.donate_train_state,
@@ -434,11 +435,25 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                 if cached is None:
                     t_logits = teacher_fwd(teacher_vars, arrays["frames"],
                                            arrays["caption"])
-                    cached = np.asarray(t_logits, np.float32)
-                    teacher_cache.put_batch(keys, cached)
-                # fp32 both on miss and on hit: one step signature, and
-                # bf16→f32 widening is exact so losses are bitwise-stable
-                arrays["teacher_logits"] = jnp.asarray(cached)
+                    dense = np.asarray(t_logits, np.float32)
+                    teacher_cache.put_batch(keys, dense)
+                    # top-k mode: replay through the SAME truncated
+                    # representation a hit would see, so miss- and
+                    # hit-epoch losses use one distribution
+                    cached = (teacher_cache.compress(dense)
+                              if teacher_cache.top_k else dense)
+                if teacher_cache.top_k:
+                    from .data.teacher_cache import densify_topk
+                    vals, idx = cached
+                    # only the ~40 KB/sample top-k pair crosses the
+                    # host→device link; the dense tensor is rebuilt in HBM
+                    arrays["teacher_logits"] = densify_topk(
+                        jnp.asarray(vals), jnp.asarray(idx),
+                        teacher.config.vocab_size)
+                else:
+                    # fp32 both on miss and on hit: one step signature, and
+                    # bf16→f32 widening is exact so losses are bitwise-stable
+                    arrays["teacher_logits"] = jnp.asarray(cached)
             if dp > 1:
                 # A ragged tail batch must never silently change placement
                 # (replicated input → different sharding signature →

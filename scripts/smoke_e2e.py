@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import dataclasses
+
     import rtvc_tpu  # noqa: F401  (compile cache)
     from rtvc_tpu import inference as inference_mod
     from rtvc_tpu import pruning as pruning_mod
@@ -34,10 +36,15 @@ def main():
     from rtvc_tpu.metrics import load_coco_annotations
     from rtvc_tpu.tokenization import BertWordPieceTokenizer
 
-    run_name = "smoke_e2e"
+    top_k = 0
+    if "--topk" in sys.argv:
+        top_k = int(sys.argv[sys.argv.index("--topk") + 1])
+        config = dataclasses.replace(config, train=dataclasses.replace(
+            config.train, teacher_cache_top_k=top_k))
+    run_name = "smoke_e2e" + (f"_topk{top_k}" if top_k else "")
     run_dir = os.path.join(config.logger.save_dir, "run", run_name)
     cache_dir = os.path.join(run_dir, "teacher_cache")
-    report = {"run": run_name}
+    report = {"run": run_name, "cache_top_k": top_k}
     wall0 = time.perf_counter()
 
     data, encoded = load_labels(config.data.captions_path,

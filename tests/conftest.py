@@ -14,8 +14,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # conftest initializes jax BEFORE rtvc_tpu's _cap_cpu_isa can run, so
+    # apply the AVX2 cap here too — without it XLA:CPU AOT cache entries
+    # carry +prefer-no-scatter/gather tuning pseudo-features that never
+    # match host CPUID, spamming "could lead to SIGILL" errors on reload
+    # (rtvc_tpu/__init__.py has the full story)
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 

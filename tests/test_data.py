@@ -138,3 +138,21 @@ def test_device_loader_shuffles_across_epochs(dataset):
     for _ in range(4):
         orders.add(tuple(b["vid-id"][0] for b in loader))
     assert len(orders) > 1  # epoch seed advances
+
+
+def test_device_loader_process_pool_matches_inline(dataset):
+    """num_workers > 0 fans clip decode across a spawn pool; batches must be
+    identical to the single-thread path (caption sampling stays in the
+    parent, so worker count cannot change the data)."""
+    kw = dict(batch_size=2, max_text_len=12, preprocess=False,
+              drop_last=False)
+    inline = list(DeviceLoader(dataset, **kw))
+    pooled_loader = DeviceLoader(dataset, num_workers=2, **kw)
+    pooled = list(pooled_loader)
+    assert len(inline) == len(pooled) == 1
+    np.testing.assert_array_equal(np.asarray(inline[0]["frames"]),
+                                  np.asarray(pooled[0]["frames"]))
+    np.testing.assert_array_equal(np.asarray(inline[0]["caption"]),
+                                  np.asarray(pooled[0]["caption"]))
+    assert inline[0]["vid-id"] == pooled[0]["vid-id"]
+    pooled_loader._pool.shutdown()

@@ -413,3 +413,89 @@ def test_initialize_distributed_single_host_noop():
     from rtvc_tpu.parallel import initialize_distributed
 
     assert initialize_distributed() is False  # sandbox: one host, no env
+
+
+def test_teacher_cache_topk_roundtrip(tmp_path):
+    from rtvc_tpu.data.teacher_cache import TeacherLogitsCache, densify_topk
+
+    cache = TeacherLogitsCache(str(tmp_path), top_k=4)
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(2, 5, 16)).astype(np.float32)
+    keys = [cache.key("v0", 0), cache.key("v1", 1)]
+    cache.put_batch(keys, logits)
+    got = cache.get_batch(keys)
+    assert got is not None
+    vals, idx = got
+    assert vals.shape == (2, 5, 4) and idx.shape == (2, 5, 4)
+    # stored pairs are exactly the top-4 of each row
+    for b in range(2):
+        for t in range(5):
+            want = set(np.argsort(logits[b, t])[-4:])
+            assert set(idx[b, t].tolist()) == want
+            np.testing.assert_allclose(
+                np.sort(vals[b, t]), np.sort(logits[b, t][idx[b, t]]))
+
+    dense = np.asarray(densify_topk(vals, idx, 16))
+    # kept entries exact; dropped entries 100 below the row max -> their
+    # softmax mass underflows to exactly 0 in f32
+    p = jax.nn.softmax(jnp.asarray(dense), axis=-1)
+    p_np = np.asarray(p)
+    for b in range(2):
+        for t in range(5):
+            kept = idx[b, t]
+            np.testing.assert_allclose(dense[b, t][kept], vals[b, t])
+            dropped = [v for v in range(16) if v not in set(kept.tolist())]
+            assert p_np[b, t][dropped].max() == 0.0
+
+
+def test_teacher_cache_topk_lossless_when_k_covers_vocab(tmp_path):
+    """K >= vocab: the truncated replay reproduces the full softmax exactly
+    (tail is empty), so topk mode degrades gracefully to exact."""
+    from rtvc_tpu.data.teacher_cache import TeacherLogitsCache, densify_topk
+    from rtvc_tpu.distill import kl_divergence_loss
+
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(2, 3, 8)).astype(np.float32)
+    cache = TeacherLogitsCache(str(tmp_path), top_k=8)
+    keys = [cache.key("a", 0), cache.key("b", 1)]
+    cache.put_batch(keys, logits)
+    vals, idx = cache.get_batch(keys)
+    dense = densify_topk(vals, idx, 8)
+    student = jnp.asarray(rng.normal(size=(2, 3, 8)), jnp.float32)
+    kl_full = float(kl_divergence_loss(student, jnp.asarray(logits)))
+    kl_topk = float(kl_divergence_loss(student, dense))
+    assert abs(kl_full - kl_topk) < 1e-5, (kl_full, kl_topk)
+
+
+def test_train_with_topk_teacher_cache(tmp_path):
+    """Two-epoch run with the top-K cache: epoch 2 hits, losses finite, and
+    hit-epoch losses equal miss-epoch losses (the miss path replays through
+    the same truncated representation)."""
+    from rtvc_tpu.config import from_dict
+    from rtvc_tpu.data.teacher_cache import TeacherLogitsCache
+    from rtvc_tpu.tokenization import BertWordPieceTokenizer
+
+    student, teacher = tiny_pair()
+    config = from_dict({
+        "logger": {"save_dir": str(tmp_path)},
+        "train": {"lr": 1e-3, "batch_size": 4,
+                  "trainer": {"max_epochs": 2, "enable_checkpointing": False}},
+        "teacher": {"vocab_size": 256},
+        "wandb": {"mode": "disabled"},
+    })
+    tok = BertWordPieceTokenizer()
+
+    def loader(seed):
+        return [synth_batch(b=4, seed=seed)
+                | {"vid-id": [f"v{i}" for i in range(4)],
+                   "caption-id": list(range(4))}]
+
+    tvars = teacher.init(jax.random.PRNGKey(1), synth_batch(b=1)["frames"],
+                         synth_batch(b=1)["caption"])
+    cache = TeacherLogitsCache(str(tmp_path / "cache"), top_k=16)
+    state, history = train(config, loader(0), loader(1), loader(2), tok,
+                           run_name="topk", student=student, teacher=teacher,
+                           teacher_vars=tvars, max_epochs=2,
+                           teacher_cache=cache, use_orbax=False)
+    assert cache.stats()["hits"] == 4 and cache.stats()["misses"] == 4
+    assert all(np.isfinite(l) for l in history["train_loss"])
