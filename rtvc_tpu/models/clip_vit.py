@@ -87,14 +87,25 @@ class CLIPAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops import attention as attention_ops
+
         dense = QuantDense if self.quantized else nn.Dense
         b, l, _ = x.shape
         qkv = dense(3 * self.width, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        def heads(t):
-            return t.reshape(b, l, self.heads, -1).transpose(0, 2, 1, 3)
-        out = multi_head_attention(heads(q), heads(k), heads(v))
-        out = out.transpose(0, 2, 1, 3).reshape(b, l, self.width)
+        if attention_ops.USE_BLHD_CLIP and attention_ops._on_tpu():
+            # layout-native kernel: consume the QKV GEMM's [B, L, H, D]
+            # without the transpose XLA would otherwise have to
+            # materialize around an opaque pallas_call (ROADMAP #7 A/B)
+            def fold(t):
+                return t.reshape(b, l, self.heads, -1)
+            out = attention_ops.blhd_attention(fold(q), fold(k), fold(v))
+            out = out.reshape(b, l, self.width)
+        else:
+            def heads(t):
+                return t.reshape(b, l, self.heads, -1).transpose(0, 2, 1, 3)
+            out = multi_head_attention(heads(q), heads(k), heads(v))
+            out = out.transpose(0, 2, 1, 3).reshape(b, l, self.width)
         return dense(self.width, dtype=self.dtype, name="out_proj")(out)
 
 

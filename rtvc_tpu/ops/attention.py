@@ -498,6 +498,94 @@ def _on_tpu() -> bool:
         return False
 
 
+# ---------------------------------------------------------------------------
+# BLHD-native fused attention (ROADMAP #7 experiment)
+# ---------------------------------------------------------------------------
+
+# Opt-in flag for the CLIP tower to use the layout-native kernel below.
+# EXPERIMENT RESULT (scripts/ab_teacher_attention.py --blhd, v5e): the
+# current Mosaic cannot lower the per-head strided read from a
+# [L, block_h, D] VMEM block ("infer-vector-layout: unsupported shape
+# cast") — with the head axis on sublanes, slicing one head is a relayout
+# Mosaic refuses. The kernel is correct in interpret mode (pinned by
+# tests/test_ops.py::test_blhd_attention_matches_xla); revisit when Mosaic
+# grows sublane-strided slicing. Until then XLA keeps the CLIP shapes
+# (its transpose+attention fusion is the in-context winner, §PALLAS_MIN_KV_LEN).
+USE_BLHD_CLIP = False
+
+
+def set_blhd_clip(value: bool) -> None:
+    global USE_BLHD_CLIP
+    USE_BLHD_CLIP = value
+
+def _make_blhd_kernel(scale: float, block_h: int):
+    """Bidirectional, maskless attention consuming [B, L, H, D] directly —
+    the layout the QKV GEMM produces — so the surrounding program never
+    materializes the (b,l,h,d)->(b,h,l,d) transpose that makes the BHLD
+    kernel lose in context at CLIP shapes (docs/PERF.md §2)."""
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        for hh in range(block_h):
+            q = q_ref[0, :, hh, :].astype(jnp.float32)   # [Lq, D]
+            k = k_ref[0, :, hh, :].astype(jnp.float32)   # [Lkv, D]
+            v = v_ref[0, :, hh, :].astype(jnp.float32)   # [Lkv, D]
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            out = jax.lax.dot_general(
+                probs, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, :, hh, :] = out.astype(o_ref.dtype)
+
+    return kernel
+
+
+def blhd_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                   scale: Optional[float] = None,
+                   interpret: bool = False) -> jnp.ndarray:
+    """q/k/v: [B, L, H, D] (no transpose needed from the packed-QKV GEMM).
+    Bidirectional, no masks — exactly the CLIP image-tower case. Single
+    q-block per (batch, head-block): CLIP's 257 tokens fit VMEM whole."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, l, h, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    # In BLHD blocks the head axis is the SUBLANE dim: the block's h extent
+    # must be a multiple of 8 or the full h (TPU tile rule). Pick the
+    # largest 8-multiple divisor of h that fits the VMEM budget.
+    per_head = 2.5 * l * l * 4 + 3 * l * d * q.dtype.itemsize
+    budget_h = max(1, int(6e6 // per_head))
+    block_h = h
+    for cand in range(8 * (budget_h // 8), 7, -8):
+        if h % cand == 0:
+            block_h = cand
+            break
+    else:
+        block_h = h  # small-h fallback: full-dim block is always legal
+    grid = (b, h // block_h)
+    spec = pl.BlockSpec((1, l, block_h, d), lambda bi, hi: (bi, 0, hi, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_blhd_kernel(float(scale), block_h),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, l, h, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * l * l * d,
+            bytes_accessed=3 * q.size * q.dtype.itemsize,
+            transcendentals=b * h * l * l,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
 # Pallas pays off when the KV context is long enough that avoiding the HBM
 # round-trip of the [Lq, Lkv] score matrix beats what pallas_call costs the
 # surrounding program. Two v5e A/Bs disagree and the IN-CONTEXT one wins:

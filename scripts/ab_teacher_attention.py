@@ -64,6 +64,13 @@ def main():
             run(f"add_ln_kernel={flag}")
         return
 
+    if "--blhd" in sys.argv:
+        # layout-native CLIP attention kernel A/B (ROADMAP #7)
+        for flag in (False, True, False):
+            A.set_blhd_clip(flag)
+            run(f"blhd_clip_kernel={flag}")
+        return
+
     # thresholds: 192 = pallas for CLIP(257)+joint(1582); 512 = joint only
     # (round-1 default); 10**9 = XLA everywhere
     for thresh in (192, 512, 10**9):

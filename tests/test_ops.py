@@ -420,3 +420,22 @@ def test_fused_add_layer_norm_parity():
     for a, b in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_blhd_attention_matches_xla():
+    """The layout-native [B, L, H, D] kernel == XLA attention on the same
+    (transposed) inputs (bidirectional/maskless — the CLIP tower case)."""
+    from rtvc_tpu.ops.attention import blhd_attention
+
+    rng = np.random.default_rng(0)
+    b, l, h, d = 3, 57, 4, 24
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, l, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, h, d)), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        got = blhd_attention(q, k, v, interpret=True)
+        want = xla_attention(*(jnp.transpose(t, (0, 2, 1, 3))
+                               for t in (q, k, v)))
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(jnp.transpose(want, (0, 2, 1, 3))),
+                               atol=2e-5, rtol=2e-5)
