@@ -29,6 +29,11 @@ class DataConfig:
     # torch DataLoader workers, src/train.py:76-112).
     prefetch_depth: int = 2
     sampler: str = "even"  # one of data.frame_sampling.SAMPLERS
+    # WordNet database dir (or synonym-group file) enabling METEOR's
+    # synonym match stage (metrics.load_wordnet_synonyms). '' = exact+stem
+    # only (WordNet data is unavailable offline in this sandbox; the stage
+    # lights up the moment data exists at this path).
+    wordnet_path: str = ""
 
 
 @dataclass(frozen=True)
@@ -132,6 +137,12 @@ class TpuConfig:
     donate_train_state: bool = True
     remat_encoder: bool = False
     quantize_teacher: bool = False  # W8A8 frozen-teacher inference
+    # Multi-host (multi-process) execution: train.main calls
+    # jax.distributed.initialize before building the global mesh, each host
+    # feeds only its slice of the global batch (parallel/multihost.py), and
+    # gradient collectives ride ICI within a slice / DCN across hosts.
+    # Also enabled by the --multihost CLI flag.
+    multihost: bool = False
 
 
 @dataclass(frozen=True)

@@ -130,7 +130,8 @@ class DeviceLoader:
                  shuffle: bool = False, seed: int = 0,
                  max_text_len: int = 40, mesh=None,
                  preprocess: bool = True, prefetch_depth: int = 2,
-                 drop_last: bool = False, num_workers: int = 0):
+                 drop_last: bool = False, num_workers: int = 0,
+                 host_slice: Optional[tuple] = None):
         # drop_last defaults False like torch DataLoader (the reference's
         # loaders kept tail batches); pass True for jit-hot training loops
         # to avoid a recompile on the ragged final batch.
@@ -139,6 +140,11 @@ class DeviceLoader:
         # still serializes per-clip decode on real mp4s; workers fan the
         # decode across cores. Caption sampling stays in the parent
         # (item_meta), so worker count never changes the data.
+        # host_slice=(start, stop): multi-host mode — batch_size is the
+        # GLOBAL batch; every host walks the same seeded global order but
+        # decodes/yields only rows [start:stop) of each global batch window
+        # (parallel/multihost.py host_batch_slice). Requires drop_last so
+        # every window is full.
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -149,6 +155,11 @@ class DeviceLoader:
         self.prefetch_depth = prefetch_depth
         self.drop_last = drop_last
         self.num_workers = num_workers
+        self.host_slice = host_slice
+        if host_slice is not None and not drop_last:
+            raise ValueError("host_slice (multi-host) requires drop_last: "
+                             "every global batch window must be full so all "
+                             "hosts agree on the step count")
         self._pool = None
         self._epoch = 0
 
@@ -165,21 +176,42 @@ class DeviceLoader:
                 mp_context=multiprocessing.get_context("spawn"))
         return self._pool
 
+    def close(self) -> None:
+        """Shut down the decode process pool (idle spawn workers otherwise
+        outlive the loader — training builds several loaders per run)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __enter__(self) -> "DeviceLoader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self) -> None:
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _host_batches(self) -> Iterator[Dict[str, Any]]:
+    def _host_batches(self, epoch: int) -> Iterator[Dict[str, Any]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            rng = np.random.default_rng(self.seed + self._epoch)
+            rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(order)
         for start in range(0, len(order), self.batch_size):
             idxs = order[start:start + self.batch_size]
             if self.drop_last and len(idxs) < self.batch_size:
                 return
+            if self.host_slice is not None:
+                idxs = idxs[self.host_slice[0]:self.host_slice[1]]
             if self.num_workers > 0:
                 metas = [self.dataset.item_meta(int(i)) for i in idxs]
                 futures = [self._decode_pool().submit(
@@ -201,9 +233,17 @@ class DeviceLoader:
         sentinel = object()
         errbox: List[BaseException] = []
 
+        # Epoch is captured BEFORE the producer starts: the producer thread
+        # reads it for the shuffle seed, and incrementing the shared counter
+        # after thread.start() raced with that read (the shuffle order of an
+        # epoch was nondeterministic — caught by the multi-host host_slice
+        # test, where three loaders must agree on one global order).
+        epoch = self._epoch
+        self._epoch += 1
+
         def producer():
             try:
-                for batch in self._host_batches():
+                for batch in self._host_batches(epoch):
                     q.put(batch)
             except BaseException as e:  # surfaced on the consumer side
                 errbox.append(e)
@@ -212,7 +252,6 @@ class DeviceLoader:
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        self._epoch += 1
 
         while True:
             batch = q.get()

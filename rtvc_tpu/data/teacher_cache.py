@@ -47,7 +47,11 @@ class TeacherLogitsCache:
         self.misses = 0
 
     def _path(self, key: str) -> str:
-        ext = ".npz" if self.top_k else ".npy"
+        # K is part of the filename: changing teacher_cache_top_k between
+        # runs against one cache_dir must MISS (and recompute), not silently
+        # replay pairs truncated at the old K — that would quietly change
+        # the distillation distribution relative to the configured K.
+        ext = f".top{self.top_k}.npz" if self.top_k else ".npy"
         return os.path.join(self.cache_dir, _sanitize(key) + ext)
 
     @staticmethod
@@ -126,6 +130,91 @@ class TeacherLogitsCache:
 
     def stats(self) -> Dict[str, int]:
         return {"hits": self.hits, "misses": self.misses}
+
+
+class CacheReplayFeed:
+    """Background prefetcher for cached-teacher training epochs.
+
+    Wraps a batch loader: while step N computes on device, a producer
+    thread pulls batch N+1 from the loader, reads its cache entries from
+    disk, and STARTS the host→device upload (``jax.device_put`` is
+    asynchronous), so on the hit path neither the disk read nor the upload
+    ever sits between two train steps. This mirrors the frames pipeline's
+    own double-buffering (data/dataset.py DeviceLoader) — round 2 left the
+    replay fully synchronous inside the step loop and the cached step LOST
+    wall-clock to the live teacher (238-260 ms vs 161 ms) despite a 2.5×
+    device-time win; see docs/PERF.md §3.
+
+    Yields the loader's batch dicts augmented with:
+
+    - ``_cache_keys``: per-row cache keys (always present);
+    - on a full-vocab hit: ``teacher_logits`` (device, f32);
+    - on a top-K hit: ``teacher_topk_vals`` / ``teacher_topk_idx`` (device)
+      — the ~40 KB/sample pair; the dense tensor is rebuilt INSIDE the
+      jitted train step (train.py), so it only ever exists in HBM.
+
+    On a miss nothing is added; the consumer runs the live teacher (the
+    device is busy with the current step anyway — epoch 1 is compute-bound,
+    not IO-bound).
+    """
+
+    def __init__(self, loader, cache: "TeacherLogitsCache", mesh=None,
+                 depth: int = 2):
+        self.loader = loader
+        self.cache = cache
+        self.mesh = mesh
+        self.depth = depth
+
+    def _put(self, x: np.ndarray):
+        import jax
+
+        if self.mesh is not None and self.mesh.shape.get("dp", 1) > 1 \
+                and x.shape[0] % self.mesh.shape["dp"] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            spec = P("dp", *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+        return jax.device_put(x)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+        errbox = []
+
+        def producer():
+            try:
+                for batch in self.loader:
+                    if "vid-id" not in batch or "caption-id" not in batch:
+                        raise ValueError("teacher_cache needs 'vid-id' and "
+                                         "'caption-id' in each batch")
+                    keys = [self.cache.key(v, c) for v, c in
+                            zip(batch["vid-id"], batch["caption-id"])]
+                    out = dict(batch)
+                    out["_cache_keys"] = keys
+                    cached = self.cache.get_batch(keys)
+                    if cached is not None:
+                        if self.cache.top_k:
+                            vals, idx = cached
+                            out["teacher_topk_vals"] = self._put(vals)
+                            out["teacher_topk_idx"] = self._put(idx)
+                        else:
+                            out["teacher_logits"] = self._put(cached)
+                    q.put(out)
+            except BaseException as e:  # surfaced on the consumer side
+                errbox.append(e)
+            finally:
+                q.put(sentinel)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if errbox:
+                    raise errbox[0]
+                return
+            yield item
 
 
 def densify_topk(values, indices, vocab_size: int):

@@ -14,10 +14,15 @@ Java jars) and nltk. Implemented here from the published metric definitions:
   configuration);
 - :func:`cider` — CIDEr-D as pycocoevalcap computes it (clipped TF-IDF
   n-gram similarity with the sigma=6 length gaussian, n=1..4 averaged, x10);
-- :func:`meteor_lite` — a Python METEOR approximation: exact + Porter-stem
-  matches with the standard METEOR parameters (alpha .9, beta 3, gamma .5).
-  The Java METEOR additionally uses WordNet synonyms/paraphrases (offline
-  data we don't have); documented divergence, typically <1 point absolute;
+- :func:`meteor_lite` — Python METEOR with the standard parameters
+  (alpha .9, beta 3, gamma .5) and all three match stages: exact,
+  Porter-stem, and WordNet-synonym (the third activates when synonym data
+  is installed via ``cfg.data.wordnet_path`` / :func:`set_wordnet_path`;
+  WordNet data is unavailable offline in this sandbox, so the default run
+  is exact+stem). Divergence vs an independent implementation is MEASURED,
+  not asserted: 95% of caption pairs score identically to nltk's METEOR in
+  the same mode, mean abs delta 0.0026, worst 0.133 on duplicate-word
+  tie-breaks (docs/METRICS.md; tests/test_metrics.py);
 - :func:`calculate_score` — the epoch-end sweep (reference metrics.py:16-39):
   scores x100, printed and appended to the run file, preds dumped to JSON;
 - :func:`calculate_bleu_score_corpus` — per-step corpus BLEU-4 x100
@@ -343,23 +348,39 @@ def porter_stem(word: str) -> str:
 _porter_stem = porter_stem
 
 
-def _meteor_align(cand: Sequence[str], ref: Sequence[str]) -> Tuple[int, int]:
-    """Greedy two-stage alignment (exact, then stem). Returns (#matches, #chunks)."""
+def _meteor_align(cand: Sequence[str], ref: Sequence[str],
+                  synonyms=None) -> Tuple[int, int]:
+    """Greedy staged alignment (exact → Porter stem → WordNet synonyms when
+    a synonym table is loaded). Returns (#matches, #chunks).
+
+    The synonym stage mirrors the Java METEOR / nltk rule: candidate word c
+    matches reference word r when r is among the lemma names of c's synsets
+    (``synonyms(c)``). Within each stage the scan is greedy first-match in
+    sentence order; the Java scorer's chunk-minimizing beam search can pick
+    a different tie-break — the measured gap is quantified in
+    tests/test_metrics.py (vs nltk's independent implementation) and
+    documented in docs/METRICS.md."""
     matched_ref = [False] * len(ref)
+    matched_cand = [False] * len(cand)
     align: List[Tuple[int, int]] = []
-    for stage in (0, 1):
+
+    def run_stage(match) -> None:
         for i, cw in enumerate(cand):
-            if any(a[0] == i for a in align):
+            if matched_cand[i]:
                 continue
-            key_c = cw if stage == 0 else _porter_stem(cw)
             for j, rw in enumerate(ref):
                 if matched_ref[j]:
                     continue
-                key_r = rw if stage == 0 else _porter_stem(rw)
-                if key_c == key_r:
+                if match(cw, rw):
                     align.append((i, j))
+                    matched_cand[i] = True
                     matched_ref[j] = True
                     break
+
+    run_stage(lambda c, r: c == r)
+    run_stage(lambda c, r: _porter_stem(c) == _porter_stem(r))
+    if synonyms is not None:
+        run_stage(lambda c, r: r in synonyms(c))
     if not align:
         return 0, 0
     align.sort()
@@ -371,13 +392,24 @@ def _meteor_align(cand: Sequence[str], ref: Sequence[str]) -> Tuple[int, int]:
 
 
 def meteor_lite(gts: Dict[str, List[List[str]]], res: Dict[str, List[str]],
-                alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5) -> float:
+                alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5,
+                synonyms=None) -> float:
+    """METEOR with the standard parameters (alpha .9, beta 3, gamma .5).
+
+    ``synonyms``: optional callable word → set of synonym lemma names.
+    Defaults to the module-level table installed by :func:`set_wordnet_path`
+    (``cfg.data.wordnet_path``) — the WordNet synonym stage lights up the
+    moment WordNet data exists on disk; without it the scorer runs the
+    exact + Porter-stem stages only (measured divergence vs nltk's METEOR
+    in the same no-WordNet mode: see tests/test_metrics.py goldens)."""
+    if synonyms is None:
+        synonyms = _WORDNET_SYNONYMS
     scores = []
     for img_id, refs in gts.items():
         cand = res[img_id]
         best = 0.0
         for ref in refs:
-            m, chunks = _meteor_align(cand, ref)
+            m, chunks = _meteor_align(cand, ref, synonyms)
             if m == 0:
                 continue
             prec = m / len(cand)
@@ -388,6 +420,89 @@ def meteor_lite(gts: Dict[str, List[List[str]]], res: Dict[str, List[str]],
             best = max(best, fmean * (1 - penalty))
         scores.append(best)
     return sum(scores) / max(len(scores), 1)
+
+
+# --------------------------------------------------------------------------
+# WordNet synonym table (the Java METEOR's third match stage)
+# --------------------------------------------------------------------------
+
+_WORDNET_SYNONYMS = None  # module default, installed by set_wordnet_path
+
+
+class _SynonymTable:
+    """word → frozenset of synonym lemma names (incl. the word itself)."""
+
+    def __init__(self, table: Dict[str, frozenset]):
+        self.table = table
+        self._empty = frozenset()
+
+    def __call__(self, word: str) -> frozenset:
+        return self.table.get(word, self._empty) or frozenset((word,))
+
+
+def load_wordnet_synonyms(path: str) -> _SynonymTable:
+    """Build the METEOR synonym table from WordNet data on disk.
+
+    Accepts either a WordNet database directory (the standard ``index.pos``
+    + ``data.pos`` files, e.g. nltk's ``corpora/wordnet``) or a plain-text
+    synonym-group file (one group per line, whitespace/comma separated) for
+    environments without the full database. The table maps each
+    single-word lemma to the union of lemma names of all its synsets — the
+    set the Java METEOR and nltk consult for the synonym match stage
+    (reference metrics.py:16-39 reached it through pycocoevalcap's Java
+    jar)."""
+    table: Dict[str, set] = {}
+    if os.path.isdir(path):
+        poses = [("noun", "n"), ("verb", "v"), ("adj", "a"), ("adv", "r")]
+        for name, _pos in poses:
+            data_file = os.path.join(path, f"data.{name}")
+            index_file = os.path.join(path, f"index.{name}")
+            if not (os.path.exists(data_file) and os.path.exists(index_file)):
+                continue
+            synset_words: Dict[str, List[str]] = {}
+            with open(data_file, encoding="utf-8") as f:
+                for line in f:
+                    if line.startswith("  ") or not line.strip():
+                        continue
+                    parts = line.split()
+                    offset, w_cnt = parts[0], int(parts[3], 16)
+                    words = [parts[4 + 2 * k].lower()
+                             for k in range(w_cnt)]
+                    # multiword collocations (underscored) are excluded,
+                    # matching nltk's lemma.name().find('_') < 0 filter
+                    synset_words[offset] = [w for w in words if "_" not in w]
+            with open(index_file, encoding="utf-8") as f:
+                for line in f:
+                    if line.startswith("  ") or not line.strip():
+                        continue
+                    parts = line.split()
+                    lemma, synset_cnt = parts[0].lower(), int(parts[2])
+                    if "_" in lemma:
+                        continue
+                    offs = parts[-synset_cnt:]
+                    bucket = table.setdefault(lemma, {lemma})
+                    for off in offs:
+                        bucket.update(synset_words.get(off, ()))
+    else:
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                group = [w for w in re.split(r"[,\s]+", line.strip().lower())
+                         if w]
+                for w in group:
+                    table.setdefault(w, {w}).update(group)
+    return _SynonymTable({w: frozenset(s) for w, s in table.items()})
+
+
+def set_wordnet_path(path: str) -> bool:
+    """Install (or clear, with '') the module-default METEOR synonym table
+    from ``path``. Returns True when a table is active. Wired to
+    ``cfg.data.wordnet_path`` by the train/eval entry points."""
+    global _WORDNET_SYNONYMS
+    if not path:
+        _WORDNET_SYNONYMS = None
+        return False
+    _WORDNET_SYNONYMS = load_wordnet_synonyms(path)
+    return True
 
 
 # --------------------------------------------------------------------------

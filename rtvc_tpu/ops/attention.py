@@ -237,10 +237,15 @@ def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # Head dim D stays unpadded too: a full-dim minor block is always legal
     # and the MXU handles a 64-wide contraction internally.
     # Pick the q-block to MINIMIZE partial-block waste, not to hit a fixed
-    # power of two: lq=257 with block 256 would run a second block that is
-    # 99.6% padding (2x the kernel work); instead use ceil(lq/nblocks)
-    # rounded to the 8-row sublane, e.g. 257 -> one 264-row block,
-    # 1582 -> four 400-row blocks. block_h = heads per grid step: as many
+    # power of two: lq=257 with block 256 would otherwise run a second
+    # block that is 99.6% padding (2x the kernel work). _block_geometry
+    # keeps n_blocks = ceil(lq/block_q) but shrinks the block to
+    # ceil(lq/n_blocks) rounded up to the 8-row sublane, spreading rows
+    # evenly: 257 -> two 136-row blocks (15 padded rows total, vs 255),
+    # 1582 -> seven 232-row blocks (42 padded rows). (A floor-based
+    # n_blocks would instead run fewer, bigger blocks — one 264-row block
+    # at 257, six at 1582; scripts/ab_block_geometry.py A/Bs the two on
+    # hardware.) block_h = heads per grid step: as many
     # as fit a conservative VMEM budget (the f32 score matrix + exp
     # intermediates dominate; K/V/Q tiles are small).
     block_q, block_h = _block_geometry(lq, lkv, d, h, q.dtype.itemsize,

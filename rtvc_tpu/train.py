@@ -41,6 +41,7 @@ from flax import struct
 from . import decode as decode_lib
 from . import metrics as metrics_lib
 from .config import Config, cfg as default_cfg
+from .data import teacher_cache as data_teacher_cache
 from .data.io import save_checkpoint
 from .distill import LossWeights, distillation_losses
 from .models.git_teacher import GITTeacher, teacher_from_config
@@ -83,6 +84,23 @@ class PlateauScheduler:
                 self.lr = max(self.lr * self.factor, self.min_lr)
                 self.bad_epochs = 0
         return self.lr
+
+
+class _NullLogger:
+    """No-op logger for non-zero hosts in multi-host runs: one writer
+    (process 0) owns the run file / scalars / wandb channel."""
+
+    def write(self, text: str) -> None:
+        pass
+
+    def log_scalars(self, step: int, scalars) -> None:
+        pass
+
+    def log_epoch_transcript(self, *a, **k) -> None:
+        pass
+
+    def finish(self) -> None:
+        pass
 
 
 def _prune_checkpoints(run_dir: str, keep: int) -> None:
@@ -129,7 +147,8 @@ def make_train_step(student: StudentCandidateV1, teacher: GITTeacher,
                     weights: LossWeights = LossWeights(),
                     donate: bool = True, kd_beam_size: int = 4,
                     kd_max_steps: int = 15, kd_length_penalty: float = 0.6,
-                    external_teacher_logits: bool = False):
+                    external_teacher_logits: bool = False,
+                    cache_top_k: int = 0):
     """Build the jitted distillation train step.
 
     The teacher is frozen (reference model.py:741-745): its variables are a
@@ -168,8 +187,19 @@ def make_train_step(student: StudentCandidateV1, teacher: GITTeacher,
         t_hidden = t_taps = ()
         if external_teacher_logits:
             # frozen-teacher logits replayed from the cache (see
-            # data/teacher_cache.py); bitwise-equal to a live forward
-            t_logits = jax.lax.stop_gradient(batch["teacher_logits"])
+            # data/teacher_cache.py); bitwise-equal to a live forward.
+            # Top-K mode: only the ~40 KB/sample (value, index) pair enters
+            # the step — the dense [B, T, V] tensor is rebuilt HERE, inside
+            # the jitted program, so it only ever exists in HBM and the
+            # densify fuses with the loss instead of being its own dispatch.
+            if cache_top_k:
+                from .data.teacher_cache import densify_topk
+                t_logits = densify_topk(batch["teacher_topk_vals"],
+                                        batch["teacher_topk_idx"],
+                                        teacher.config.vocab_size)
+            else:
+                t_logits = batch["teacher_logits"]
+            t_logits = jax.lax.stop_gradient(t_logits)
         elif need_forced:
             t_logits, t_visual, t_hidden, t_taps = teacher.apply(
                 teacher_vars, frames, captions, taps or None,
@@ -308,6 +338,27 @@ def evaluate(student, variables, loader, tokenizer, logger: RunLogger,
     return mean_bleu, outputs
 
 
+def _eval_on_main(student, inference_vars, loader, tokenizer, logger, epoch,
+                  split, annotations, beam_size, is_main: bool) -> float:
+    """Multi-host eval: process 0 evaluates on a host-local replica of the
+    replicated params; the scalar is then broadcast so every host's plateau
+    scheduler sees the same monitored value (a collective all hosts join —
+    it doubles as the epoch barrier)."""
+    import numpy as _np
+    from jax.experimental import multihost_utils
+
+    bleu = 0.0
+    if is_main:
+        # params/batch_stats are fully replicated → np fetch is local-only
+        local_vars = jax.device_put(
+            jax.tree.map(lambda x: _np.asarray(x), inference_vars))
+        bleu, _ = evaluate(student, local_vars, loader, tokenizer, logger,
+                           epoch, split, annotations=annotations,
+                           beam_size=beam_size)
+    return float(multihost_utils.broadcast_one_to_all(
+        _np.asarray(bleu, _np.float32)))
+
+
 def train(config: Config, train_loader: Iterable, val_loader, test_loader,
           tokenizer, run_name: str = "run",
           annotations: Optional[Dict[str, List[str]]] = None,
@@ -332,9 +383,18 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
     bitwise-equal losses, with the teacher forward (the step's dominant
     FLOPs) removed from steady-state epochs. Only valid with the default
     kl+ce loss combination."""
+    # Multi-host: this process is one of N controllers over a global mesh
+    # (train.main --multihost → parallel/multihost.py initialize_distributed
+    # ran before any JAX call). Process 0 owns logging/checkpoints/eval;
+    # train steps are global SPMD programs every host drives in lockstep.
+    multihost = jax.process_count() > 1
+    is_main = jax.process_index() == 0
     run_dir = os.path.join(config.logger.save_dir, "run", run_name)
     os.makedirs(run_dir, exist_ok=True)
-    logger = RunLogger(run_dir, run_name, config_dump={
+    if config.data.wordnet_path:  # METEOR synonym stage (metrics.py)
+        metrics_lib.set_wordnet_path(config.data.wordnet_path)
+    logger = _NullLogger() if not is_main else RunLogger(
+        run_dir, run_name, config_dump={
         "Teacher model": "GITTeacher",
         "Teacher model configuration": dataclasses.asdict(config.teacher),
         "Student model": "StudentCandidateV1",
@@ -352,7 +412,17 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
         import math
         bsz = config.train.batch_size
         dp0, tp0 = mesh.shape.get("dp", 1), mesh.shape.get("tp", 1)
-        if dp0 > 1 and bsz % dp0 != 0:
+        if multihost and dp0 % jax.process_count():
+            raise ValueError(
+                f"multi-host run: mesh dp={dp0} must be a multiple of "
+                f"process_count={jax.process_count()}")
+        if multihost and tp0 > 1:
+            raise ValueError(
+                "multi-host eval fetches a host-local replica of the "
+                "params (train.py _eval_on_main), which requires them "
+                "fully replicated — use tp=1 across hosts, or shard tp "
+                "within one host only")
+        if not multihost and dp0 > 1 and bsz % dp0 != 0:
             # the default mesh must divide the configured batch — shrink dp
             # (explicitly, logged) rather than silently un-shard batches
             dp_new = math.gcd(bsz, dp0)
@@ -400,7 +470,8 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
     train_step = make_train_step(
         student, teacher, tx, loss_weights,
         donate=config.tpu.donate_train_state,
-        external_teacher_logits=teacher_cache is not None)
+        external_teacher_logits=teacher_cache is not None,
+        cache_top_k=teacher_cache.top_k if teacher_cache is not None else 0)
     teacher_fwd = jax.jit(lambda tv, f, c: teacher.apply(tv, f, c)) \
         if teacher_cache is not None else None
     timer = StepTimer("train_step")
@@ -423,38 +494,46 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
         # TPU tunnel) — steps pipeline freely this way.
         epoch_t0 = time.perf_counter()
         n_steps = 0
-        for batch in train_loader:
+        first_dispatch_s = 0.0
+        # Cached-teacher epochs iterate through CacheReplayFeed: a producer
+        # thread reads the NEXT batch's cache entries and starts their
+        # host→device upload while the current step computes, so the hit
+        # path pays neither disk IO nor upload latency between steps.
+        feed = train_loader if teacher_cache is None else \
+            data_teacher_cache.CacheReplayFeed(
+                train_loader, teacher_cache, mesh=mesh if dp > 1 else None)
+        for batch in feed:
             arrays = {"frames": batch["frames"], "caption": batch["caption"]}
             if teacher_cache is not None:
-                if "vid-id" not in batch or "caption-id" not in batch:
-                    raise ValueError("teacher_cache needs 'vid-id' and "
-                                     "'caption-id' in each batch")
-                keys = [teacher_cache.key(v, c) for v, c in
-                        zip(batch["vid-id"], batch["caption-id"])]
-                cached = teacher_cache.get_batch(keys)
-                if cached is None:
+                if "teacher_topk_vals" in batch:          # prefetched hit
+                    arrays["teacher_topk_vals"] = batch["teacher_topk_vals"]
+                    arrays["teacher_topk_idx"] = batch["teacher_topk_idx"]
+                elif "teacher_logits" in batch:           # prefetched hit
+                    # fp32 both on miss and on hit: one step signature, and
+                    # bf16→f32 widening is exact so losses are bitwise-stable
+                    arrays["teacher_logits"] = batch["teacher_logits"]
+                else:                                     # miss: live teacher
+                    keys = batch["_cache_keys"]
                     t_logits = teacher_fwd(teacher_vars, arrays["frames"],
                                            arrays["caption"])
                     dense = np.asarray(t_logits, np.float32)
                     teacher_cache.put_batch(keys, dense)
-                    # top-k mode: replay through the SAME truncated
-                    # representation a hit would see, so miss- and
-                    # hit-epoch losses use one distribution
-                    cached = (teacher_cache.compress(dense)
-                              if teacher_cache.top_k else dense)
-                if teacher_cache.top_k:
-                    from .data.teacher_cache import densify_topk
-                    vals, idx = cached
-                    # only the ~40 KB/sample top-k pair crosses the
-                    # host→device link; the dense tensor is rebuilt in HBM
-                    arrays["teacher_logits"] = densify_topk(
-                        jnp.asarray(vals), jnp.asarray(idx),
-                        teacher.config.vocab_size)
-                else:
-                    # fp32 both on miss and on hit: one step signature, and
-                    # bf16→f32 widening is exact so losses are bitwise-stable
-                    arrays["teacher_logits"] = jnp.asarray(cached)
-            if dp > 1:
+                    if teacher_cache.top_k:
+                        # replay through the SAME truncated representation a
+                        # hit would see, so miss- and hit-epoch losses use
+                        # one distribution
+                        vals, idx = teacher_cache.compress(dense)
+                        arrays["teacher_topk_vals"] = jnp.asarray(vals)
+                        arrays["teacher_topk_idx"] = jnp.asarray(idx)
+                    else:
+                        arrays["teacher_logits"] = jnp.asarray(dense)
+            if multihost:
+                # arrays hold HOST-LOCAL rows (global_batch / process_count,
+                # data.dataset host_slice); assemble the logically-global
+                # dp-sharded batch without any cross-host data movement
+                from .parallel.multihost import shard_host_local_batch
+                arrays = shard_host_local_batch(arrays, mesh)
+            elif dp > 1:
                 # A ragged tail batch must never silently change placement
                 # (replicated input → different sharding signature →
                 # recompile + a non-dp step). Trim to a dp multiple instead;
@@ -470,22 +549,41 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                                  f"for dp={dp} (use drop_last to avoid)\n")
                     arrays = {k: v[:usable] for k, v in arrays.items()}
                 arrays = shard_batch(arrays, mesh)  # dp-axis placement
+            t_dispatch = time.perf_counter()
             state, m = train_step(state, teacher_vars, arrays, step_rng)
+            if n_steps == 0:
+                # first dispatch of the epoch: on epoch 0 this is the jit
+                # trace+compile (execution itself is async) — recorded so
+                # artifacts can report steady-state step time separately
+                first_dispatch_s = time.perf_counter() - t_dispatch
             epoch_losses.append(m["total"])
             n_steps += 1
         losses_np = [float(l) for l in epoch_losses]  # fetch forces completion
         epoch_dt = time.perf_counter() - epoch_t0
         if n_steps:
             timer.durations.append(epoch_dt / n_steps)
+        history.setdefault("epoch_n_steps", []).append(n_steps)
+        history.setdefault("epoch_first_dispatch_s", []).append(
+            round(first_dispatch_s, 3))
         mean_loss = float(np.mean(losses_np)) if losses_np else 0.0
         history["train_loss"].append(mean_loss)
 
         inference_vars = {"params": state.params,
                           "batch_stats": state.batch_stats}
-        val_bleu, _ = evaluate(student, inference_vars, val_loader, tokenizer,
-                               logger, epoch, "Validation",
-                               annotations=annotations,
-                               beam_size=config.train.eval_beam_size)
+        if multihost:
+            # Process 0 evaluates the FULL val set on a host-local replica
+            # of the (replicated) params — eval decode is latency-bound, not
+            # worth a cross-host program — then broadcasts the monitored
+            # value so every host's plateau scheduler stays in lockstep.
+            val_bleu = _eval_on_main(
+                student, inference_vars, val_loader, tokenizer, logger,
+                epoch, "Validation", annotations,
+                config.train.eval_beam_size, is_main)
+        else:
+            val_bleu, _ = evaluate(student, inference_vars, val_loader,
+                                   tokenizer, logger, epoch, "Validation",
+                                   annotations=annotations,
+                                   beam_size=config.train.eval_beam_size)
         history["val_loss"].append(val_bleu)
         new_lr = sched.update(val_bleu)  # quirk preserved: min-mode on BLEU
         state = state.replace(opt_state=set_lr(state.opt_state, new_lr))
@@ -493,7 +591,8 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
         logger.log_scalars(epoch, {"train_loss": mean_loss,
                                    "val_loss": val_bleu, "lr": new_lr,
                                    **timer.summary()})
-        if config.train.trainer.enable_checkpointing and use_orbax:
+        if config.train.trainer.enable_checkpointing and use_orbax \
+                and is_main:
             save_checkpoint(os.path.join(run_dir, f"ckpt_{epoch:02d}"), {
                 "params": state.params,
                 "batch_stats": state.batch_stats,
@@ -502,10 +601,16 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
             })
             _prune_checkpoints(run_dir, config.callback.save_top_k)
 
-    test_bleu, test_outputs = evaluate(
-        student, {"params": state.params, "batch_stats": state.batch_stats},
-        test_loader, tokenizer, logger, epochs, "Test",
-        annotations=annotations, beam_size=config.train.eval_beam_size)
+    final_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    if multihost:
+        test_bleu = _eval_on_main(student, final_vars, test_loader, tokenizer,
+                                  logger, epochs, "Test", annotations,
+                                  config.train.eval_beam_size, is_main)
+    else:
+        test_bleu, _ = evaluate(
+            student, final_vars, test_loader, tokenizer, logger, epochs,
+            "Test", annotations=annotations,
+            beam_size=config.train.eval_beam_size)
     history["test_loss"] = test_bleu
     history["timing"] = timer.summary()
     # one avg-step-time entry per epoch: epoch 1 vs 2 shows the
@@ -523,11 +628,33 @@ def main(argv: Optional[List[str]] = None) -> None:
     Requires the MSRVTT data layout the reference used: labels.csv with a
     ``split`` column, encoded_captions.pkl, and videos (.mp4 or .npy) under
     DATA.VIDEOS_PATH.
+
+    ``--multihost`` (or ``cfg.tpu.multihost``): multi-process execution —
+    ``jax.distributed.initialize`` runs FIRST (before any other JAX call),
+    the mesh then spans every chip of every host, and this process's
+    loaders decode only its slice of each global batch
+    (parallel/multihost.py). The reference's whole distribution story was
+    one Lightning config line (reference config.py:69); here it is one
+    flag.
     """
+    import argparse
+
     from .data.dataset import CaptionDataset, DeviceLoader, load_labels
     from .tokenization import BertWordPieceTokenizer
 
+    parser = argparse.ArgumentParser(prog="rtvc_tpu.train")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed and train over all "
+                             "hosts' devices (env: COORDINATOR_ADDRESS, "
+                             "NUM_PROCESSES, PROCESS_ID; auto on TPU pods)")
+    args = parser.parse_args(argv)
+
     config = default_cfg
+    multihost = False
+    if args.multihost or config.tpu.multihost:
+        from .parallel.multihost import initialize_distributed
+        multihost = initialize_distributed()
+
     try:
         data, encoded = load_labels(config.data.captions_path,
                                     config.data.encoded_caption_ids)
@@ -535,6 +662,13 @@ def main(argv: Optional[List[str]] = None) -> None:
         print(f"training data not found ({e}); see README for data setup",
               file=sys.stderr)
         sys.exit(1)
+
+    host_slice = None
+    if multihost:
+        from .parallel.multihost import host_batch_slice
+        host_slice = host_batch_slice(config.train.batch_size,
+                                      jax.process_index(),
+                                      jax.process_count())
 
     splits = {}
     for split in ("train", "validate", "test"):
@@ -545,9 +679,14 @@ def main(argv: Optional[List[str]] = None) -> None:
         ds = CaptionDataset(config.data.videos_path, list(ids), data, encoded,
                             num_frames=config.data.num_frames,
                             random_state=config.seed)
+        # train batches are host-sliced (each host decodes its rows of the
+        # global batch); val/test loaders stay full-batch — multi-host eval
+        # runs wholly on process 0 (train._eval_on_main)
         splits[split] = DeviceLoader(
             ds, config.train.batch_size, shuffle=(split == "train"),
-            seed=config.seed, drop_last=(split == "train"))
+            seed=config.seed,
+            drop_last=(split == "train"),
+            host_slice=host_slice if split == "train" else None)
 
     tokenizer = BertWordPieceTokenizer()
     run_name = time.strftime("%y%m%d_%H%M%S")

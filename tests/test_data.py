@@ -156,3 +156,23 @@ def test_device_loader_process_pool_matches_inline(dataset):
                                   np.asarray(pooled[0]["caption"]))
     assert inline[0]["vid-id"] == pooled[0]["vid-id"]
     pooled_loader._pool.shutdown()
+
+
+def test_device_loader_close_shuts_down_pool(dataset_fixture=None):
+    """close() (and context-manager exit) shuts the decode pool down so
+    idle spawn workers don't accumulate across loaders."""
+    import pandas as pd
+    from rtvc_tpu.data.dataset import CaptionDataset, DeviceLoader
+
+    df = pd.DataFrame({"image_id": ["v0"], "id": [0]})
+    ds = CaptionDataset(".", ["v0"], df, {0: [101, 7]}, num_frames=2)
+    loader = DeviceLoader(ds, 1, num_workers=1)
+    pool = loader._decode_pool()
+    assert loader._pool is pool
+    loader.close()
+    assert loader._pool is None
+    with pytest.raises(RuntimeError):
+        pool.submit(int, 1)  # shutdown pool rejects new work
+    with DeviceLoader(ds, 1, num_workers=1) as dl:
+        dl._decode_pool()
+    assert dl._pool is None

@@ -235,3 +235,237 @@ def test_meteor_uses_full_porter_stems():
     res = {"1": ["a", "man", "riding", "a", "bike"]}
     score = metrics.meteor_lite(gts, res)
     assert score > 0.9  # all 5 words align (4 exact + 1 stem match)
+
+
+# --------------------------------------------------------------------------
+# METEOR: quantified cross-check vs nltk's independent implementation
+# --------------------------------------------------------------------------
+
+class _NoWordnet:
+    """WordNet stub with no data: nltk's synonym stage becomes a no-op,
+    leaving exactly the exact+stem pipeline meteor_lite runs offline."""
+
+    def synsets(self, word):
+        return []
+
+
+class _Lemma:
+    def __init__(self, name):
+        self._name = name
+
+    def name(self):
+        return self._name
+
+
+class _Synset:
+    def __init__(self, words):
+        self._lemmas = [_Lemma(w) for w in words]
+
+    def lemmas(self):
+        return self._lemmas
+
+
+class _GroupWordnet:
+    """WordNet stub serving fixed synonym groups (each group = 1 synset)."""
+
+    def __init__(self, groups):
+        self._by_word = {}
+        for group in groups:
+            syn = _Synset(group)
+            for w in group:
+                self._by_word.setdefault(w, []).append(syn)
+
+    def synsets(self, word):
+        return self._by_word.get(word, [])
+
+
+def _caption_pairs(n=120):
+    """Deterministic caption-domain fixture: reference sentences plus
+    paraphrase-style candidates (inflection changes, word swaps, drops,
+    insertions) — the perturbation classes METEOR's stages react to."""
+    import random
+    rng = random.Random(7)
+    subjects = [["a", "man"], ["a", "woman"], ["a", "dog"],
+                ["two", "people"], ["a", "group", "of", "people"],
+                ["a", "chef"], ["a", "little", "kid"], ["a", "player"]]
+    verbs = [["is", "playing"], ["is", "riding"], ["is", "cooking"],
+             ["is", "singing"], ["is", "dancing", "to"], ["is", "watching"],
+             ["is", "talking", "about"], ["is", "driving"]]
+    objects = [["a", "guitar"], ["the", "piano"], ["a", "bike"],
+               ["a", "video", "game"], ["some", "food"], ["a", "song"],
+               ["a", "soccer", "ball"], ["the", "news"], ["a", "car"]]
+    tails = [[], ["outdoors"], ["in", "a", "room"], ["on", "the", "street"],
+             ["with", "friends"], ["at", "night"], ["in", "the", "kitchen"]]
+    inflect = {"playing": "plays", "riding": "rides", "cooking": "cooks",
+               "singing": "sings", "watching": "watches", "driving": "drives",
+               "dancing": "dances", "talking": "talks"}
+    pairs = []
+    for _ in range(n):
+        ref = (rng.choice(subjects) + rng.choice(verbs) + rng.choice(objects)
+               + rng.choice(tails))
+        cand = list(ref)
+        for _ in range(rng.randint(1, 3)):
+            op = rng.randrange(5)
+            if op == 0 and any(w in inflect for w in cand):  # inflection
+                i = next(i for i, w in enumerate(cand) if w in inflect)
+                cand[i] = inflect[cand[i]]
+                if i > 0 and cand[i - 1] == "is":
+                    del cand[i - 1]
+            elif op == 1 and len(cand) > 3:                  # drop a word
+                del cand[rng.randrange(len(cand))]
+            elif op == 2 and len(cand) > 3:                  # swap adjacent
+                i = rng.randrange(len(cand) - 1)
+                cand[i], cand[i + 1] = cand[i + 1], cand[i]
+            elif op == 3:                                    # insert filler
+                cand.insert(rng.randrange(len(cand) + 1),
+                            rng.choice(["very", "really", "nicely"]))
+            else:                                            # replace object
+                cand[-1] = rng.choice(["thing", "object", "item"])
+        pairs.append((ref, cand))
+    return pairs
+
+
+def test_meteor_gap_vs_nltk_quantified():
+    """Quantified bound on meteor_lite vs nltk's METEOR run in the SAME
+    no-WordNet mode (synonym stage disabled via a data-less stub, original
+    Porter mode): the two greedy aligners differ only in scan direction
+    (ours forward, nltk's reversed), so per-pair deltas are tie-break noise.
+    The asserted bounds double as the published divergence figures
+    (docs/METRICS.md)."""
+    nltk = pytest.importorskip("nltk")
+    from nltk.translate.meteor_score import single_meteor_score
+
+    stemmer = nltk.stem.PorterStemmer(mode="ORIGINAL_ALGORITHM")
+    stub = _NoWordnet()
+    pairs = _caption_pairs(120)
+    deltas = []
+    for ref, cand in pairs:
+        ours = metrics.meteor_lite({"0": [ref]}, {"0": cand}, synonyms=None)
+        theirs = single_meteor_score(ref, cand, preprocess=lambda s: s,
+                                     stemmer=stemmer, wordnet=stub)
+        deltas.append(abs(ours - theirs))
+    deltas = sorted(deltas)
+    mean = sum(deltas) / len(deltas)
+    # measured on this fixture: mean 0.0026, 114/120 pairs identical, max
+    # 0.133 — every non-zero delta is a duplicate-word ("a", "the")
+    # tie-break where the two greedy aligners pair different occurrences
+    # and land on different chunk counts (docs/METRICS.md records the run;
+    # the Java scorer's chunk-minimizing search would side with whichever
+    # alignment has fewer chunks)
+    assert mean < 0.005, f"mean METEOR delta {mean:.4f}"
+    assert deltas[-1] < 0.15, f"max METEOR delta {deltas[-1]:.4f}"
+    agree = sum(d < 1e-9 for d in deltas)
+    assert agree >= int(0.9 * len(deltas)), f"only {agree}/120 pairs identical"
+
+
+def test_meteor_synonym_stage_matches_nltk():
+    """With synonym data the third match stage activates and agrees with
+    nltk's WordNet stage fed the same groups.
+
+    Vocabulary is restricted to Porter fixed points (street, road, kid,
+    child, car, auto, sofa, couch) because of an nltk implementation
+    artifact: its stem stage rewrites the LEFTOVER words with their stems,
+    so its synonym lookup runs on stems ('bicycle' becomes 'bicycl' and no
+    longer matches any synset). The Java METEOR — and meteor_lite — match
+    synonyms on surface forms; test_meteor_synonym_stage_beats_nltk_on_stems
+    pins that documented difference."""
+    nltk = pytest.importorskip("nltk")
+    from nltk.translate.meteor_score import single_meteor_score
+
+    groups = [["street", "road"], ["kid", "child"],
+              ["car", "auto"], ["sofa", "couch"]]
+    table = metrics._SynonymTable({
+        w: frozenset(g) for g in groups for w in g})
+    wn = _GroupWordnet(groups)
+    stemmer = nltk.stem.PorterStemmer(mode="ORIGINAL_ALGORITHM")
+    # no duplicate words within a sentence: duplicate occurrences are
+    # exactly the greedy-tie-break divergence the gap test above measures
+    cases = [
+        (["the", "man", "drives", "his", "car", "down", "this", "road"],
+         ["the", "man", "drives", "his", "auto", "down", "this", "street"]),
+        (["a", "kid", "sits", "on", "one", "sofa"],
+         ["a", "child", "sits", "on", "one", "couch"]),
+        (["the", "kid", "is", "near", "a", "car"],
+         ["the", "child", "is", "near", "a", "auto"]),
+    ]
+    for ref, cand in cases:
+        ours = metrics.meteor_lite({"0": [ref]}, {"0": cand}, synonyms=table)
+        theirs = single_meteor_score(ref, cand, preprocess=lambda s: s,
+                                     stemmer=stemmer, wordnet=wn)
+        assert abs(ours - theirs) < 1e-9, (ref, cand, ours, theirs)
+        base = metrics.meteor_lite({"0": [ref]}, {"0": cand}, synonyms=None)
+        assert ours > base  # the synonym stage found extra matches
+
+
+def test_meteor_synonym_stage_beats_nltk_on_stems():
+    """Documented nltk artifact: nltk's synonym stage sees stemmed leftovers
+    ('bicycle' → 'bicycl', missing its synset); meteor_lite matches surface
+    forms like the Java scorer, so it finds the bike~bicycle match."""
+    nltk = pytest.importorskip("nltk")
+    from nltk.translate.meteor_score import single_meteor_score
+
+    groups = [["bike", "bicycle", "cycle"]]
+    table = metrics._SynonymTable({w: frozenset(g) for g in groups for w in g})
+    wn = _GroupWordnet(groups)
+    stemmer = nltk.stem.PorterStemmer(mode="ORIGINAL_ALGORITHM")
+    ref = ["the", "man", "rode", "his", "bicycle"]
+    cand = ["the", "man", "rode", "his", "bike"]
+    ours = metrics.meteor_lite({"0": [ref]}, {"0": cand}, synonyms=table)
+    theirs = single_meteor_score(ref, cand, preprocess=lambda s: s,
+                                 stemmer=stemmer, wordnet=wn)
+    assert ours > 0.99  # all five words align (4 exact + 1 synonym)
+    assert theirs < ours  # nltk misses the stemmed-away synonym match
+
+
+def test_meteor_synonym_golden_hand_computed():
+    """Hand-derived: ref 'a kid on a bike' vs cand 'a child on a cycle'.
+    Exact matches: 'a' (x2), 'on' -> 3; synonym matches: kid~child,
+    bike~cycle -> m=5 of 5/5, P=R=1, fmean=1. Alignment is monotone ->
+    1 chunk, penalty = 0.5*(1/5)^3 = 0.004 -> score 0.996."""
+    groups = [["bike", "bicycle", "cycle"], ["kid", "child"]]
+    table = metrics._SynonymTable({w: frozenset(g) for g in groups for w in g})
+    ref = ["a", "kid", "on", "a", "bike"]
+    cand = ["a", "child", "on", "a", "cycle"]
+    got = metrics.meteor_lite({"0": [ref]}, {"0": cand}, synonyms=table)
+    assert abs(got - 0.996) < 1e-12, got
+
+
+def test_load_wordnet_synonyms_group_file(tmp_path):
+    p = tmp_path / "syns.txt"
+    p.write_text("bike, bicycle, cycle\nkid child\n")
+    table = metrics.load_wordnet_synonyms(str(p))
+    assert "bicycle" in table("bike") and "cycle" in table("bike")
+    assert "child" in table("kid")
+    assert table("zebra") == frozenset(("zebra",))  # unknown → self only
+
+
+def test_load_wordnet_synonyms_database_dir(tmp_path):
+    """Parse the standard WordNet index.pos/data.pos format (the layout
+    nltk's corpora/wordnet ships): the stage lights up from real data."""
+    (tmp_path / "data.noun").write_text(
+        "  1 header line to skip\n"
+        "00001111 03 n 02 bike 0 bicycle 0 001 @ 00002222 n 0000 | a cycle\n"
+        "00003333 03 n 02 kid 0 child 0 001 @ 00002222 n 0000 | a child\n")
+    (tmp_path / "index.noun").write_text(
+        "  1 header line to skip\n"
+        "bike n 1 1 @ 1 0 00001111\n"
+        "bicycle n 1 1 @ 1 0 00001111\n"
+        "kid n 1 1 @ 1 0 00003333\n")
+    table = metrics.load_wordnet_synonyms(str(tmp_path))
+    assert "bicycle" in table("bike")
+    assert "bike" in table("bicycle")
+    assert "child" in table("kid")
+
+
+def test_set_wordnet_path_installs_module_default(tmp_path):
+    p = tmp_path / "syns.txt"
+    p.write_text("bike cycle\n")
+    gts = {"1": [["a", "bike"]]}
+    res = {"1": ["a", "cycle"]}
+    base = metrics.meteor_lite(gts, res)
+    try:
+        assert metrics.set_wordnet_path(str(p))
+        assert metrics.meteor_lite(gts, res) > base
+    finally:
+        metrics.set_wordnet_path("")
+    assert metrics.meteor_lite(gts, res) == base

@@ -499,3 +499,70 @@ def test_train_with_topk_teacher_cache(tmp_path):
                            teacher_cache=cache, use_orbax=False)
     assert cache.stats()["hits"] == 4 and cache.stats()["misses"] == 4
     assert all(np.isfinite(l) for l in history["train_loss"])
+
+
+def test_cache_replay_feed_prefetches_hits(tmp_path):
+    """CacheReplayFeed: hits arrive as pre-uploaded device arrays matching
+    the cache contents; misses pass through with keys only."""
+    from rtvc_tpu.data.teacher_cache import CacheReplayFeed, TeacherLogitsCache
+
+    cache = TeacherLogitsCache(str(tmp_path / "tc"), top_k=4)
+    rng = np.random.default_rng(0)
+    dense = rng.normal(size=(2, 3, 16)).astype(np.float32)
+    keys_hit = [cache.key("v0", 0), cache.key("v1", 1)]
+    cache.put_batch(keys_hit, dense)
+
+    batches = [
+        {"frames": np.zeros((2, 1)), "caption": np.zeros((2, 3), np.int32),
+         "vid-id": ["v0", "v1"], "caption-id": [0, 1]},       # hit
+        {"frames": np.zeros((2, 1)), "caption": np.zeros((2, 3), np.int32),
+         "vid-id": ["v9", "v8"], "caption-id": [9, 8]},       # miss
+    ]
+    out = list(CacheReplayFeed(batches, cache))
+    assert len(out) == 2
+    hit, miss = out
+    assert hit["_cache_keys"] == keys_hit
+    want_vals, want_idx = cache.compress(dense)
+    np.testing.assert_array_equal(np.asarray(hit["teacher_topk_vals"]),
+                                  want_vals)
+    np.testing.assert_array_equal(np.asarray(hit["teacher_topk_idx"]),
+                                  want_idx)
+    assert "teacher_topk_vals" not in miss
+    assert miss["_cache_keys"] == [cache.key("v9", 9), cache.key("v8", 8)]
+
+
+def test_cache_replay_feed_full_vocab_mode(tmp_path):
+    from rtvc_tpu.data.teacher_cache import CacheReplayFeed, TeacherLogitsCache
+
+    cache = TeacherLogitsCache(str(tmp_path / "tc"))
+    dense = np.arange(2 * 3 * 5, dtype=np.float32).reshape(2, 3, 5)
+    keys = [cache.key("v0", 0), cache.key("v1", 1)]
+    cache.put_batch(keys, dense)
+    batches = [{"frames": 0, "caption": 0,
+                "vid-id": ["v0", "v1"], "caption-id": [0, 1]}]
+    (hit,) = list(CacheReplayFeed(batches, cache))
+    np.testing.assert_array_equal(np.asarray(hit["teacher_logits"]), dense)
+
+
+def test_cache_replay_feed_requires_ids(tmp_path):
+    from rtvc_tpu.data.teacher_cache import CacheReplayFeed, TeacherLogitsCache
+
+    cache = TeacherLogitsCache(str(tmp_path / "tc"))
+    with pytest.raises(ValueError, match="vid-id"):
+        list(CacheReplayFeed([{"frames": 0, "caption": 0}], cache))
+
+
+def test_teacher_cache_topk_change_misses_not_truncates(tmp_path):
+    """Changing top_k against the same cache_dir must MISS (K is in the
+    filename), never silently replay pairs truncated at the old K."""
+    from rtvc_tpu.data.teacher_cache import TeacherLogitsCache
+
+    dense = np.random.default_rng(0).normal(size=(1, 2, 8)).astype(np.float32)
+    c128 = TeacherLogitsCache(str(tmp_path / "tc"), top_k=4)
+    key = [c128.key("v", 0)]
+    c128.put_batch(key, dense)
+    assert c128.get_batch(key) is not None
+    c64 = TeacherLogitsCache(str(tmp_path / "tc"), top_k=2)
+    assert c64.get_batch(key) is None  # different K → miss, recompute
+    cfull = TeacherLogitsCache(str(tmp_path / "tc"))
+    assert cfull.get_batch(key) is None  # full-vocab mode → miss too
