@@ -134,7 +134,14 @@ class TpuConfig:
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     use_pallas_attention: bool = True
-    donate_train_state: bool = True
+    # Donating the train state halves its HBM footprint, but the tunneled
+    # TPU runtime couples an execution's output lifetimes: donating step
+    # N's state into step N+1 invalidates step N's METRIC outputs too, so
+    # a loop that keeps per-step losses (train.py does, for the epoch
+    # mean) hits zombie-buffer recovery (seconds/step) or
+    # FAILED_PRECONDITION on fetch. Off by default; enable on standard
+    # (non-tunneled) runtimes if the state's 2x footprint matters.
+    donate_train_state: bool = False
     remat_encoder: bool = False
     quantize_teacher: bool = False  # W8A8 frozen-teacher inference
     # Multi-host (multi-process) execution: train.main calls

@@ -338,6 +338,22 @@ def evaluate(student, variables, loader, tokenizer, logger: RunLogger,
     return mean_bleu, outputs
 
 
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected-hyperparams learning rate IN PLACE, preserving
+    the leaf's EXACT abstract value and placement.
+
+    ``jnp.full_like(leaf, lr)`` keeps dtype, weak-type, sharding and
+    device of the existing leaf. Anything less exact re-traces the train
+    step: a plain ``jnp.asarray(lr, jnp.float32)`` differs in weak-type
+    from the scalar ``optax.inject_hyperparams`` created inside jit, and
+    that one-leaf aval change recompiled the full distillation step at
+    EVERY epoch boundary (measured: two ~100 s dispatch stalls per epoch
+    on the TPU tunnel; 163 ms/step once the leaf matches)."""
+    leaf = opt_state.hyperparams["learning_rate"]
+    opt_state.hyperparams["learning_rate"] = jnp.full_like(leaf, lr)
+    return opt_state
+
+
 def _eval_on_main(student, inference_vars, loader, tokenizer, logger, epoch,
                   split, annotations, beam_size, is_main: bool) -> float:
     """Multi-host eval: process 0 evaluates on a host-local replica of the
@@ -452,16 +468,35 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                            opt_state=tree["opt_state"], step=tree["step"])
         logger.write(f"\nresumed from {resume_from} at step "
                      f"{int(state.step)}\n")
-    state = state.replace(params=place_params(state.params, mesh),
-                          batch_stats=replicate(state.batch_stats, mesh),
-                          opt_state=replicate(state.opt_state, mesh))
+    # Mesh placement ONLY for real multi-device meshes. On a trivial
+    # 1-device mesh, NamedSharding-wrapping the param trees is not a no-op
+    # on the tunneled TPU runtime: an executable whose inputs MIX
+    # NamedSharding and plain committed arrays falls off the fast dispatch
+    # path and round-trips the NamedSharding trees through the host EVERY
+    # call (measured: 163 ms/step all-plain or all-replicated vs 16.7
+    # s/step mixed — the 788 MB teacher tree at tunnel bandwidth). The
+    # epoch-boundary set_lr used to create exactly that mix from epoch 1
+    # on (an uncommitted host scalar inside an otherwise-placed opt_state);
+    # it now preserves the leaf's sharding, and trivial meshes skip
+    # placement entirely.
+    if mesh.size > 1:
+        state = state.replace(params=place_params(state.params, mesh),
+                              batch_stats=replicate(state.batch_stats, mesh),
+                              opt_state=replicate(state.opt_state, mesh))
 
     if teacher_vars is None:
-        # random teacher (real weights come from models/convert.py)
+        # random teacher (real weights come from models/convert.py).
+        # JITTED init, like create_train_state: unjitted flax init is
+        # thousands of tiny eager dispatches (~99 s vs 6 s over the
+        # tunnel), and the resulting eager-built buffers poison the
+        # donated train step — the runtime re-materializes the 788 MB
+        # tree per call (measured 21 s/step vs 167 ms with jit-init
+        # variables; /tmp transcript recorded in docs/PERF.md §3).
         t_rng = jax.random.PRNGKey(config.seed + 1)
-        teacher_vars = teacher.init(t_rng, example["frames"][:1],
-                                    example["caption"][:1])
-    teacher_vars = replicate(teacher_vars, mesh)
+        teacher_vars = jax.jit(teacher.init)(t_rng, example["frames"][:1],
+                                             example["caption"][:1])
+    if mesh.size > 1:
+        teacher_vars = replicate(teacher_vars, mesh)
 
     if isinstance(teacher_cache, str):
         from .data.teacher_cache import TeacherLogitsCache
@@ -478,9 +513,7 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
     epochs = max_epochs or config.train.trainer.max_epochs
     history: Dict[str, Any] = {"train_loss": [], "val_loss": []}
 
-    def set_lr(opt_state, lr):
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-        return opt_state
+    set_lr = set_learning_rate
 
     step_rng = jax.random.PRNGKey(config.seed + 2)
     from .parallel.mesh import shard_batch
@@ -495,6 +528,7 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
         epoch_t0 = time.perf_counter()
         n_steps = 0
         first_dispatch_s = 0.0
+        dispatch_ms: List[float] = []
         # Cached-teacher epochs iterate through CacheReplayFeed: a producer
         # thread reads the NEXT batch's cache entries and starts their
         # host→device upload while the current step computes, so the hit
@@ -551,20 +585,31 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                 arrays = shard_batch(arrays, mesh)  # dp-axis placement
             t_dispatch = time.perf_counter()
             state, m = train_step(state, teacher_vars, arrays, step_rng)
+            dispatch_s = time.perf_counter() - t_dispatch
             if n_steps == 0:
                 # first dispatch of the epoch: on epoch 0 this is the jit
                 # trace+compile (execution itself is async) — recorded so
                 # artifacts can report steady-state step time separately
-                first_dispatch_s = time.perf_counter() - t_dispatch
+                first_dispatch_s = dispatch_s
+            dispatch_ms.append(dispatch_s * 1e3)
             epoch_losses.append(m["total"])
             n_steps += 1
+        t_fetch = time.perf_counter()
         losses_np = [float(l) for l in epoch_losses]  # fetch forces completion
+        fetch_s = time.perf_counter() - t_fetch
         epoch_dt = time.perf_counter() - epoch_t0
         if n_steps:
             timer.durations.append(epoch_dt / n_steps)
         history.setdefault("epoch_n_steps", []).append(n_steps)
         history.setdefault("epoch_first_dispatch_s", []).append(
             round(first_dispatch_s, 3))
+        # per-step dispatch walls + trailing fetch: in a healthy pipelined
+        # epoch the dispatches are milliseconds and the whole device wait
+        # lands in the fetch; a fat dispatch mid-epoch is a stall (compile,
+        # upload, cache miss) worth seeing in artifacts
+        history.setdefault("epoch_dispatch_ms", []).append(
+            [round(d, 1) for d in dispatch_ms])
+        history.setdefault("epoch_fetch_s", []).append(round(fetch_s, 3))
         mean_loss = float(np.mean(losses_np)) if losses_np else 0.0
         history["train_loss"].append(mean_loss)
 

@@ -80,6 +80,8 @@ def main():
                          use_orbax=False)
     print(f"live arm total {time.perf_counter() - t0:.1f}s "
           f"epoch_step_ms={live_hist['epoch_step_ms']}", flush=True)
+    print(f"  dispatch_ms={live_hist['epoch_dispatch_ms']} "
+          f"fetch_s={live_hist['epoch_fetch_s']}", flush=True)
 
     cache = TeacherLogitsCache(os.path.join(tmp, "cache"), top_k=top_k)
     t0 = time.perf_counter()
@@ -89,6 +91,8 @@ def main():
     print(f"cache arm total {time.perf_counter() - t0:.1f}s "
           f"epoch_step_ms={cache_hist['epoch_step_ms']} "
           f"stats={cache_hist['teacher_cache']}", flush=True)
+    print(f"  dispatch_ms={cache_hist['epoch_dispatch_ms']} "
+          f"fetch_s={cache_hist['epoch_fetch_s']}", flush=True)
 
     live = live_hist["epoch_step_ms"][1]   # steady state (epoch 2)
     miss = cache_hist["epoch_step_ms"][0]  # includes compile
