@@ -113,8 +113,12 @@ def main():
             def body(carry, _):
                 first = x + carry.astype(x.dtype)
                 o = apply(variables, first)
-                leaf = jax.tree.leaves(o)[0]
-                s = jnp.sum(leaf.astype(jnp.float32))[None]
+                # sum EVERY output leaf: folding only the first feature
+                # map into the carry let XLA DCE stages 1-3 of the whole-
+                # model run (observed "3.75 ms whole encoder" vs a 24.6 ms
+                # stage sum)
+                s = sum(jnp.sum(leaf.astype(jnp.float32))
+                        for leaf in jax.tree.leaves(o))[None]
                 return s * 1e-12, ()
             f = jax.jit(lambda v, xx: jax.lax.scan(
                 body, jnp.zeros((1,), jnp.float32), None, length=n)[0])
