@@ -75,6 +75,13 @@ class StudentConfig:
     cls_token_id: int = 101
     sep_token_id: int = 102
     max_pos_len: int = 500  # PositionalEncoding max_len (model.py:324)
+    # tanh-approx GELU in the TinyViT encoder: measured 21.9 -> 14.7 ms
+    # per 48-frame encode on v5e (docs/PERF.md §1b; max activation shift
+    # 1.5e-2 rel on random weights). timm's TinyViT uses exact erf — set
+    # False for bit-faithful parity with converted timm activations
+    # (parity tests pin the exact mode explicitly); the KD-trained student
+    # treats the activation as a design choice, so fast is the default.
+    gelu_approximate: bool = True
 
 
 @dataclass(frozen=True)

@@ -65,13 +65,14 @@ class Mlp(nn.Module):
     out_dim: Optional[int] = None
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         out_dim = self.out_dim or x.shape[-1]
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(out_dim, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)

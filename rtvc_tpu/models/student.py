@@ -348,7 +348,8 @@ class StudentCandidateV1(nn.Module):
 def student_from_config(cfg) -> StudentCandidateV1:
     """Build the student from a ``Config`` (rtvc_tpu.config.Config)."""
     enc = tiny_vit_21m_config(
-        dtype=jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else jnp.float32)
+        dtype=jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16" else jnp.float32,
+        gelu_approximate=cfg.student.gelu_approximate)
     return StudentCandidateV1(
         d_model=cfg.student.d_model,
         n_head=cfg.student.n_head,

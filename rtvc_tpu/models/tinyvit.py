@@ -43,6 +43,11 @@ class TinyViTConfig:
     drop_path_rate: float = 0.2
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # tanh-approximated GELU instead of exact erf. timm's TinyViT uses the
+    # exact form, so converted checkpoints default to False for parity;
+    # measured A/B at the training shape is in docs/PERF.md §1b (the erf
+    # GELUs ride elementwise on 58M-element stage-0 tensors).
+    gelu_approximate: bool = False
 
 
 def tiny_vit_21m_config(**overrides) -> TinyViTConfig:
@@ -86,20 +91,21 @@ class MBConv(nn.Module):
     expand_ratio: float
     drop_path: float
     dtype: jnp.dtype = jnp.float32
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         hidden = int(self.dim * self.expand_ratio)
         shortcut = x
         x = ConvBN(hidden, 1, dtype=self.dtype, name="conv1")(x, train)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         x = ConvBN(hidden, 3, groups=hidden, dtype=self.dtype,
                    name="conv2")(x, train)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         x = ConvBN(self.dim, 1, dtype=self.dtype, name="conv3")(x, train)
         x = DropPath(self.drop_path)(x, deterministic=not train)
         x = shortcut + x
-        return nn.gelu(x, approximate=False)
+        return nn.gelu(x, approximate=self.gelu_approx)
 
 
 class PatchEmbed(nn.Module):
@@ -107,11 +113,12 @@ class PatchEmbed(nn.Module):
 
     dim: int
     dtype: jnp.dtype = jnp.float32
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = ConvBN(self.dim // 2, 3, 2, dtype=self.dtype, name="conv1")(x, train)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         x = ConvBN(self.dim, 3, 2, dtype=self.dtype, name="conv2")(x, train)
         return x
 
@@ -121,14 +128,15 @@ class PatchMerging(nn.Module):
 
     out_dim: int
     dtype: jnp.dtype = jnp.float32
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = ConvBN(self.out_dim, 1, dtype=self.dtype, name="conv1")(x, train)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         x = ConvBN(self.out_dim, 3, 2, groups=self.out_dim, dtype=self.dtype,
                    name="conv2")(x, train)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         x = ConvBN(self.out_dim, 1, dtype=self.dtype, name="conv3")(x, train)
         return x
 
@@ -191,6 +199,7 @@ class TinyViTBlock(nn.Module):
     drop_path: float
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -221,7 +230,8 @@ class TinyViTBlock(nn.Module):
         # MLP on token view
         xt = x.reshape(b, h * w, c)
         mlp = Mlp(int(self.dim * self.mlp_ratio), dropout=self.dropout,
-                  dtype=self.dtype, name="mlp")(xt, deterministic=not train)
+                  dtype=self.dtype, gelu_approx=self.gelu_approx,
+                  name="mlp")(xt, deterministic=not train)
         xt = xt + DropPath(self.drop_path)(mlp, deterministic=not train)
         return xt.reshape(b, h, w, c)
 
@@ -236,6 +246,7 @@ class TinyViT(nn.Module):
         cfg = self.config
         x = x.astype(cfg.dtype)
         x = PatchEmbed(cfg.embed_dims[0], dtype=cfg.dtype,
+                       gelu_approx=cfg.gelu_approximate,
                        name="patch_embed")(x, train)
 
         total_blocks = sum(cfg.depths)
@@ -247,6 +258,7 @@ class TinyViT(nn.Module):
         for d in range(cfg.depths[0]):
             x = MBConv(cfg.embed_dims[0], cfg.mbconv_expand_ratio,
                        float(dp_rates[block_idx]), dtype=cfg.dtype,
+                       gelu_approx=cfg.gelu_approximate,
                        name=f"stage0_block{d}")(x, train)
             block_idx += 1
         feature_maps.append(x)
@@ -254,12 +266,14 @@ class TinyViT(nn.Module):
         # stages 1-3: PatchMerging downsample then TinyViT blocks
         for s in range(1, 4):
             x = PatchMerging(cfg.embed_dims[s], dtype=cfg.dtype,
+                             gelu_approx=cfg.gelu_approximate,
                              name=f"stage{s}_downsample")(x, train)
             for d in range(cfg.depths[s]):
                 x = TinyViTBlock(cfg.embed_dims[s], cfg.num_heads[s],
                                  cfg.window_sizes[s], cfg.mlp_ratio,
                                  float(dp_rates[block_idx]), cfg.dropout,
                                  dtype=cfg.dtype,
+                                 gelu_approx=cfg.gelu_approximate,
                                  name=f"stage{s}_block{d}")(x, train)
                 block_idx += 1
             feature_maps.append(x)

@@ -34,14 +34,16 @@ def main():
 
     def scan_time(apply, variables, x):
         def run(n):
-            def body(carry, _):
-                first = x + carry.astype(x.dtype)
-                o = apply(variables, first)
-                s = sum(jnp.sum(l.astype(jnp.float32))
-                        for l in jax.tree.leaves(o))[None]
-                return s * 1e-12, ()
-            f = jax.jit(lambda v, xx: jax.lax.scan(
-                body, jnp.zeros((1,), jnp.float32), None, length=n)[0])
+            def scanned(v, xx):
+                def body(carry, _):
+                    first = xx + carry.astype(xx.dtype)
+                    o = apply(v, first)
+                    s = sum(jnp.sum(l.astype(jnp.float32))
+                            for l in jax.tree.leaves(o))[None]
+                    return s * 1e-12, ()
+                return jax.lax.scan(
+                    body, jnp.zeros((1,), jnp.float32), None, length=n)[0]
+            f = jax.jit(scanned)
             np.asarray(f(variables, x))
             t0 = time.perf_counter()
             for _ in range(3):

@@ -110,18 +110,21 @@ def main():
         """Scan-isolated device time; variables pass as jit args (memory
         note: closures inline 100s-of-MB constants over the tunnel)."""
         def run(n):
-            def body(carry, _):
-                first = x + carry.astype(x.dtype)
-                o = apply(variables, first)
-                # sum EVERY output leaf: folding only the first feature
-                # map into the carry let XLA DCE stages 1-3 of the whole-
-                # model run (observed "3.75 ms whole encoder" vs a 24.6 ms
-                # stage sum)
-                s = sum(jnp.sum(leaf.astype(jnp.float32))
-                        for leaf in jax.tree.leaves(o))[None]
-                return s * 1e-12, ()
-            f = jax.jit(lambda v, xx: jax.lax.scan(
-                body, jnp.zeros((1,), jnp.float32), None, length=n)[0])
+            def scanned(v, xx):
+                def body(carry, _):
+                    first = xx + carry.astype(xx.dtype)
+                    o = apply(v, first)
+                    # sum EVERY output leaf: folding only the first feature
+                    # map into the carry let XLA DCE stages 1-3 of the whole-
+                    # model run (observed "3.75 ms whole encoder" vs a 24.6 ms
+                    # stage sum); closing over xx instead of passing it as an
+                    # arg would inline it as an MLIR constant (PERF.md §4)
+                    s = sum(jnp.sum(leaf.astype(jnp.float32))
+                            for leaf in jax.tree.leaves(o))[None]
+                    return s * 1e-12, ()
+                return jax.lax.scan(
+                    body, jnp.zeros((1,), jnp.float32), None, length=n)[0]
+            f = jax.jit(scanned)
             np.asarray(f(variables, x))
             t0 = time.perf_counter()
             for _ in range(3):

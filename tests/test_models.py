@@ -50,6 +50,23 @@ def test_tinyvit_stage_shapes():
         (2, 16, 16, 8), (2, 8, 8, 16), (2, 4, 4, 24), (2, 2, 2, 32)]
 
 
+def test_tinyvit_gelu_approximate_close():
+    """cfg.gelu_approximate swaps erf GELU for tanh GELU: same params,
+    same shapes, small numeric delta (the perf A/B knob, PERF.md §1b)."""
+    import dataclasses
+    exact = TinyViT(TINY_ENC)
+    approx = TinyViT(dataclasses.replace(TINY_ENC, gelu_approximate=True))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    variables = exact.init(jax.random.PRNGKey(0), x)
+    out_e = exact.apply(variables, x)
+    out_a = approx.apply(variables, x)  # identical param tree
+    for a, b in zip(out_e, out_a):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.1)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(out_e, out_a))
+
+
 def test_tinyvit_batchnorm_updates():
     model = TinyViT(TINY_ENC)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
