@@ -48,9 +48,15 @@ def main() -> None:
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
 
+    from rtvc_tpu.config import cfg
+
     compute_dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
     student = StudentCandidateV1(
-        encoder_config=tiny_vit_21m_config(dtype=compute_dtype),
+        encoder_config=tiny_vit_21m_config(
+            dtype=compute_dtype,
+            # shipping default (cfg.student): tanh GELU — the measured
+            # encoder lever (docs/PERF.md §1b); parity tests pin exact mode
+            gelu_approximate=cfg.student.gelu_approximate),
         dtype=compute_dtype)
 
     rng = jax.random.PRNGKey(0)

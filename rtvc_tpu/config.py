@@ -150,7 +150,11 @@ class TpuConfig:
     # (non-tunneled) runtimes if the state's 2x footprint matters.
     donate_train_state: bool = False
     remat_encoder: bool = False
-    quantize_teacher: bool = False  # W8A8 frozen-teacher inference
+    # W8A8 frozen-teacher inference. Measured end-to-end verdict on the
+    # v5e/XLA build of record: the full int8 distillation step is 1.06x
+    # SLOWER than float (179.6 vs 169.8 ms median, docs/PERF.md §3) — the
+    # knob stays off unless your runtime's int8 GEMMs actually win.
+    quantize_teacher: bool = False
     # Multi-host (multi-process) execution: train.main calls
     # jax.distributed.initialize before building the global mesh, each host
     # feeds only its slice of the global batch (parallel/multihost.py), and

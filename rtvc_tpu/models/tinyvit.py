@@ -183,8 +183,12 @@ class WindowAttention(nn.Module):
                             (self.num_heads, num_offsets))
         bias = biases[:, jnp.asarray(idxs)]  # [H, N, N]
 
+        # softmax in compute dtype: at bf16 this removes the f32
+        # score-tensor cost that dominated the window core (PERF.md §1b);
+        # f32 runs (parity tests, CPU) are unchanged by construction.
         out = multi_head_attention(q, k, v, bias=bias[None].astype(jnp.float32),
-                                   scale=key_dim ** -0.5)
+                                   scale=key_dim ** -0.5,
+                                   softmax_in_input_dtype=True)
         out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], n, -1)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 

@@ -71,20 +71,31 @@ def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                   bias: Optional[jnp.ndarray] = None,
                   scale: Optional[float] = None,
                   dropout_rate: float = 0.0,
-                  dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                  dropout_rng: Optional[jax.Array] = None,
+                  softmax_in_input_dtype: bool = False) -> jnp.ndarray:
     """Plain XLA attention. q,k,v: [B, H, L, D]. Used on CPU and for grads.
 
     ``bias``: optional additive attention bias broadcastable to
     [B, H, Lq, Lkv] (e.g. TinyViT's learned relative-position biases).
+
+    ``softmax_in_input_dtype``: keep scores/softmax in q.dtype instead of
+    f32 (MXU still accumulates the GEMMs in f32). At bf16 this removes
+    the dominant cost of small-window attention — the f32 score-tensor
+    materialization — measured 7.4x on the stage-2 core and -6.3 ms per
+    48-frame TinyViT encode (docs/PERF.md §1b, scripts/
+    ab_window_attention.py); max output delta 6e-3 vs the f32 path on
+    random weights. Default off: the teacher tower and decoder keep f32
+    softmax for conversion parity.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    acc_t = jnp.dtype(q.dtype if softmax_in_input_dtype else jnp.float32)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
+                        preferred_element_type=acc_t) * jnp.asarray(scale, acc_t)
     scores = scores + _mask_bias(q.shape[2], k.shape[2], causal, prefix_len,
-                                 kv_mask)
+                                 kv_mask).astype(acc_t)
     if bias is not None:
-        scores = scores + bias
+        scores = scores + bias.astype(acc_t)
     probs = jax.nn.softmax(scores, axis=-1)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
@@ -622,7 +633,8 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                          scale: Optional[float] = None,
                          dropout_rate: float = 0.0,
                          dropout_rng: Optional[jax.Array] = None,
-                         use_pallas: Optional[bool] = None) -> jnp.ndarray:
+                         use_pallas: Optional[bool] = None,
+                         softmax_in_input_dtype: bool = False) -> jnp.ndarray:
     """Dispatching MHA: Pallas fused kernel on TPU for long-KV shapes
     (including attention-probs dropout, handled by the in-kernel PRNG and
     the matching backward kernel), XLA elsewhere.
@@ -646,4 +658,5 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     return xla_attention(q, k, v, causal=causal, prefix_len=prefix_len,
                          kv_mask=kv_mask, bias=bias, scale=scale,
                          dropout_rate=dropout_rate if wants_dropout else 0.0,
-                         dropout_rng=dropout_rng)
+                         dropout_rng=dropout_rng,
+                         softmax_in_input_dtype=softmax_in_input_dtype)

@@ -83,8 +83,8 @@ def main():
             return o.transpose(0, 2, 1, 3).reshape(w, n, h * d)
 
         def direct(qkv, bias):
-            x = qkv.reshape(w, n, 3, h, d)
-            q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]  # [W, N, H, D]
+            x = qkv.reshape(w, n, h, 3, d)
+            q, k, v = (x[..., i, :] for i in range(3))  # [W, N, H, D]
             s = jnp.einsum("wnhd,wmhd->whnm", q, k,
                            preferred_element_type=jnp.float32) * scale
             p = jax.nn.softmax(s + bias[None], axis=-1).astype(v.dtype)
@@ -92,16 +92,16 @@ def main():
             return o.reshape(w, n, h * d)
 
         def bf16sm(qkv, bias):
-            x = qkv.reshape(w, n, 3, h, d)
-            q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]
-            s = jnp.einsum("wnhd,wmhd->whnm", q, k) * np.bfloat16(scale)
+            x = qkv.reshape(w, n, h, 3, d)
+            q, k, v = (x[..., i, :] for i in range(3))
+            s = jnp.einsum("wnhd,wmhd->whnm", q, k) * jnp.bfloat16(scale)
             p = jax.nn.softmax(s + bias[None].astype(s.dtype), axis=-1)
             o = jnp.einsum("whnm,wmhd->wnhd", p, v)
             return o.reshape(w, n, h * d)
 
         def sdpa(qkv, bias):
-            x = qkv.reshape(w, n, 3, h, d)
-            q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]  # [W, N, H, D]
+            x = qkv.reshape(w, n, h, 3, d)
+            q, k, v = (x[..., i, :] for i in range(3))  # [W, N, H, D]
             o = jax.nn.dot_product_attention(
                 q, k, v, bias=jnp.broadcast_to(bias[None], (w, h, n, n)),
                 scale=scale)
@@ -131,13 +131,12 @@ def main():
             continue
         for g in (2, 4, 8):
             def packg(qkv, bias, g=g):
-                x = qkv.reshape(w // g, g, n, 3, h, d)
-                x = x.reshape(w // g, g * n, 3, h, d)
-                q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+                x = qkv.reshape(w // g, g * n, h, 3, d)
+                q, k, v = (x[..., i, :] for i in range(3))
                 # block-diagonal bias: same-window blocks get the learned
                 # bias, cross-window pairs -inf
-                eye = jnp.eye(g, dtype=bool)
-                blockmask = jnp.kron(eye, jnp.ones((n, n), bool))
+                blockmask = jnp.kron(jnp.eye(g, dtype=jnp.float32),
+                                     jnp.ones((n, n), jnp.float32)) > 0
                 big = jnp.where(blockmask[None], jnp.tile(bias, (1, g, g)),
                                 jnp.float32(-1e9))
                 s = jnp.einsum("wnhd,wmhd->whnm", q, k,

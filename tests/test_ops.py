@@ -68,6 +68,25 @@ def test_xla_attention_matches_naive(causal, prefix):
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
 
 
+def test_softmax_in_input_dtype_close_and_f32_noop():
+    """The window-attention fast path (softmax in compute dtype,
+    PERF.md §1b lever 2): bf16 scores/softmax stay close to the f32
+    path, and at f32 inputs the flag is a bitwise no-op (acc dtype
+    follows q.dtype), so parity-mode runs are unchanged."""
+    key = jax.random.PRNGKey(3)
+    q, k, v = (jax.random.normal(kk, (4, 6, 49, 32)) * 0.5
+               for kk in jax.random.split(key, 3))
+    bias = jax.random.normal(jax.random.PRNGKey(4), (1, 6, 49, 49)) * 0.1
+    ref = xla_attention(q, k, v, bias=bias)
+    f32_fast = xla_attention(q, k, v, bias=bias, softmax_in_input_dtype=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(f32_fast))
+    bf = xla_attention(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                       v.astype(jnp.bfloat16), bias=bias,
+                       softmax_in_input_dtype=True)
+    np.testing.assert_allclose(np.asarray(bf, np.float32), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
 @pytest.mark.parametrize("causal,prefix", [(False, 0), (True, 0), (True, 7)])
 def test_pallas_attention_interpret_matches_xla(causal, prefix):
     q, k, v = _rand_qkv(jax.random.PRNGKey(1), lq=130, lkv=140, d=72)
