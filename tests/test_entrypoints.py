@@ -90,6 +90,43 @@ def test_pruning_test_entry(student_ckpt, tmp_path, capsys):
     assert "sparsity" in capsys.readouterr().out
 
 
+def test_shrink_frame_pixel_identity():
+    """Host-side shrink+crop commutes with the device preprocess stage.
+
+    shrink_frame ships 25% fewer bytes than the uncropped shrink; this
+    pins that clip_preprocess(shrink+crop) == clip_preprocess(shrink) for
+    large frames, and that sub-224 frames are passed through whole (the
+    device upscale must see the full field of view)."""
+    pytest.importorskip("cv2")
+    import cv2
+
+    from rtvc_tpu.ops.preprocess import clip_preprocess
+    from rtvc_tpu.real_time_inference import shrink_frame
+
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, size=(480, 640, 3), dtype=np.uint8)
+
+    cropped = shrink_frame(frame)
+    assert cropped.shape == (224, 224, 3)
+
+    # uncropped reference path: shorter-edge-224 shrink only
+    scale = 224 / 480
+    size = (int(round(640 * scale)), 224)
+    uncropped = cv2.resize(frame, size, interpolation=cv2.INTER_AREA)
+
+    out_crop = np.asarray(clip_preprocess(jnp.asarray(cropped[None])))
+    out_full = np.asarray(clip_preprocess(jnp.asarray(uncropped[None])))
+    np.testing.assert_allclose(out_crop, out_full, rtol=0, atol=1e-5)
+
+    # portrait orientation crops the height axis
+    portrait = rng.integers(0, 255, size=(640, 480, 3), dtype=np.uint8)
+    assert shrink_frame(portrait).shape == (224, 224, 3)
+
+    # small frames ship whole (no host crop before a device upscale)
+    small = rng.integers(0, 255, size=(180, 240, 3), dtype=np.uint8)
+    assert shrink_frame(small).shape == (180, 240, 3)
+
+
 def test_realtime_streaming_headless(student_ckpt, tmp_path):
     cv2 = pytest.importorskip("cv2")
     from rtvc_tpu.real_time_inference import run_realtime
