@@ -1,0 +1,430 @@
+"""Multi-stream batched captioning service (serving hardening).
+
+The reference's real-time entry serves exactly ONE camera stream with a
+synchronous capture→decode loop (reference src/real_time_inference.py:30-75);
+``real_time_inference.py`` here rebuilds that loop threaded, and this module
+is the production layer above it: N independent streams (cameras, uploaded
+clips, RTC sessions) share ONE chip by batching their 6-frame windows into a
+single jitted preprocess+greedy-decode program. The batch-8 decode path runs
+at ~192 clips/s on a v5e chip vs ~16 windows/s for serial batch-1 dispatch
+(docs/PERF.md §5) — cross-stream batching is worth ~12x in chip utilization.
+
+Architecture (TPU-first):
+
+- ``submit(window, stream_id=...)`` enqueues a request and returns a
+  ``CaptionFuture``. Per-stream **latest-window semantics**: a new window
+  from the same stream replaces its not-yet-scheduled predecessor (the
+  superseded future resolves with ``superseded=True``) — live cameras always
+  want the freshest caption, never a backlog (same drop policy as
+  ``real_time_inference.LatestSlot``, per stream).
+- A scheduler thread forms batches: it waits up to ``max_wait_ms`` after the
+  first pending request for more streams to arrive, then takes up to
+  ``max_batch`` requests FIFO.
+- The batch is padded to the next **bucket size** (default 1,2,4,...,
+  max_batch) so only ``len(buckets)`` programs are ever compiled — XLA
+  needs static shapes, and per-request-count recompiles would stall the
+  service. Pad rows are zero windows whose outputs are discarded.
+- Exactness under batching: greedy rows are independent (self-attention
+  never crosses the batch axis), and the all-rows-SEP early stop can only
+  run LONGER with extra rows — a row's tokens up to its first SEP are
+  bit-identical at any batch size. Each row is therefore truncated at its
+  first SEP before text decode, which reproduces the single-request result
+  exactly (at B=1 the early stop leaves 0-padding after SEP); pinned by
+  tests/test_serving.py.
+
+CLI demo (simulates N streams replaying one clip):
+
+    python -m rtvc_tpu.serving clip.mp4 --streams 8 --windows 32
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import OrderedDict
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import decode as decode_lib
+from .models.student import StudentCandidateV1
+
+SEP_TOKEN_ID = 102  # BERT [SEP] (reference model.py:184 stop token)
+
+
+class CaptionFuture:
+    """Result handle for one submitted window."""
+
+    def __init__(self) -> None:
+        self._event = threading.Event()
+        self._text: Optional[str] = None
+        self._tokens: Optional[np.ndarray] = None
+        self._error: Optional[BaseException] = None
+        self.superseded = False
+        self.submit_time = time.perf_counter()
+        self.done_time: Optional[float] = None
+
+    def _resolve(self, text: Optional[str], tokens: Optional[np.ndarray],
+                 *, superseded: bool = False,
+                 error: Optional[BaseException] = None) -> None:
+        self._text = text
+        self._tokens = tokens
+        self.superseded = superseded
+        self._error = error
+        self.done_time = time.perf_counter()
+        self._event.set()
+
+    def done(self) -> bool:
+        return self._event.is_set()
+
+    def result(self, timeout: Optional[float] = None) -> Optional[str]:
+        """Caption text; ``None`` if superseded by a newer same-stream
+        window. Raises on server-side errors / timeout."""
+        if not self._event.wait(timeout):
+            raise TimeoutError("caption not ready")
+        if self._error is not None:
+            raise self._error
+        return self._text
+
+    def tokens(self, timeout: Optional[float] = None) -> Optional[np.ndarray]:
+        if not self._event.wait(timeout):
+            raise TimeoutError("caption not ready")
+        if self._error is not None:
+            raise self._error
+        return self._tokens
+
+    @property
+    def latency_s(self) -> Optional[float]:
+        if self.done_time is None:
+            return None
+        return self.done_time - self.submit_time
+
+
+class _Request:
+    __slots__ = ("window", "future", "stream_id")
+
+    def __init__(self, window: np.ndarray, stream_id: Optional[str]):
+        self.window = window
+        self.future = CaptionFuture()
+        self.stream_id = stream_id
+
+
+def truncate_at_sep(row: np.ndarray, sep_id: int = SEP_TOKEN_ID) -> np.ndarray:
+    """Tokens up to (excluding) the first SEP — the part of a greedy row
+    that is invariant to batch composition (see module docstring)."""
+    hits = np.nonzero(row == sep_id)[0]
+    return row[: hits[0]] if hits.size else row
+
+
+def default_buckets(max_batch: int) -> Tuple[int, ...]:
+    out = [1]
+    while out[-1] < max_batch:
+        out.append(min(out[-1] * 2, max_batch))
+    return tuple(out)
+
+
+class BatchCaptionServer:
+    """Batches caption requests from many streams into one decode program.
+
+    Parameters
+    ----------
+    student, variables, tokenizer:
+        same trio ``real_time_inference.StreamingCaptioner`` takes.
+    max_batch:
+        largest batch one program processes (compile-time bound).
+    max_wait_ms:
+        scheduler linger after the first pending request — the
+        latency/throughput knob. 0 = dispatch immediately (lowest latency);
+        a few ms lets concurrent streams coalesce into full batches.
+    buckets:
+        compiled batch sizes; requests are padded up to the next bucket.
+    frame_shape:
+        (H, W, 3) of incoming uint8 frames; all streams must agree (resize
+        on the client/grabber side — ``real_time_inference.shrink_frame``).
+    """
+
+    def __init__(self, student: StudentCandidateV1, variables: Any,
+                 tokenizer: Any, *, max_batch: int = 8,
+                 max_wait_ms: float = 4.0, max_len: int = 25,
+                 buckets: Optional[Sequence[int]] = None,
+                 frame_shape: Tuple[int, int, int] = (224, 224, 3),
+                 window: int = 6, warmup: bool = True):
+        import jax
+
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.student = student
+        self.variables = variables
+        self.tokenizer = tokenizer
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self.max_len = int(max_len)
+        self.buckets = tuple(sorted(buckets)) if buckets else \
+            default_buckets(self.max_batch)
+        if self.buckets[-1] < self.max_batch:
+            raise ValueError("largest bucket must cover max_batch")
+        self.frame_shape = tuple(frame_shape)
+        self.window = int(window)
+
+        def step(variables, frames_u8):
+            # [B, W, H, Wd, 3] uint8 -> captions [B, 1+max_len] int32.
+            # Param tree stays a jit ARGUMENT (constant-inlining a ~254 MB
+            # tree bloats the compile payload, docs/PERF.md §4).
+            from .ops.preprocess import clip_preprocess
+            b, w = frames_u8.shape[:2]
+            flat = frames_u8.reshape((b * w,) + frames_u8.shape[2:])
+            proc = clip_preprocess(flat)
+            proc = proc.reshape((b, w) + proc.shape[1:])
+            return decode_lib.student_greedy(
+                self.student, variables, proc, max_len=self.max_len)
+
+        self._jit_step = jax.jit(step)
+
+        self._lock = threading.Condition()
+        # OrderedDict preserves FIFO arrival while allowing O(1) per-stream
+        # replacement; anonymous requests get a unique key.
+        self._pending: "OrderedDict[Any, _Request]" = OrderedDict()
+        self._anon_counter = 0
+        self._closed = False
+        self._stats_lock = threading.Lock()
+        self.batch_sizes: List[int] = []
+        self.latencies_s: List[float] = []
+        self._served = 0
+        self._superseded = 0
+        self._t_first: Optional[float] = None
+        self._t_last: Optional[float] = None
+
+        if warmup:
+            self.warmup()
+
+        self._thread = threading.Thread(target=self._scheduler_loop,
+                                        daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------ API
+
+    def warmup(self) -> None:
+        """Compile + execute every bucket once so no live request ever eats
+        a compile."""
+        import jax.numpy as jnp
+        for b in self.buckets:
+            dummy = jnp.zeros((b, self.window) + self.frame_shape, jnp.uint8)
+            np.asarray(self._jit_step(self.variables, dummy))
+
+    def submit(self, window: np.ndarray,
+               stream_id: Optional[str] = None) -> CaptionFuture:
+        """Enqueue one [window, H, W, 3] uint8 clip. Thread-safe."""
+        window = np.asarray(window)
+        expect = (self.window,) + self.frame_shape
+        if window.shape != expect:
+            raise ValueError(f"window shape {window.shape} != {expect}")
+        req = _Request(window, stream_id)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server closed")
+            if stream_id is not None:
+                old = self._pending.pop(stream_id, None)
+                if old is not None:
+                    old.future._resolve(None, None, superseded=True)
+                    with self._stats_lock:
+                        self._superseded += 1
+                key: Any = stream_id
+            else:
+                self._anon_counter += 1
+                key = ("_anon", self._anon_counter)
+            self._pending[key] = req
+            self._lock.notify()
+        return req.future
+
+    def stats(self) -> Dict[str, float]:
+        with self._stats_lock:
+            lat = sorted(self.latencies_s)
+            out: Dict[str, float] = {
+                "served": float(self._served),
+                "superseded": float(self._superseded),
+                "batches": float(len(self.batch_sizes)),
+                "mean_batch": (sum(self.batch_sizes) /
+                               max(len(self.batch_sizes), 1)),
+            }
+            if lat:
+                out["latency_p50_ms"] = lat[len(lat) // 2] * 1e3
+                out["latency_p95_ms"] = lat[int(len(lat) * 0.95)
+                                            if len(lat) > 1 else 0] * 1e3
+            if (self._t_first is not None and self._t_last is not None
+                    and self._t_last > self._t_first):
+                out["throughput_windows_per_s"] = (
+                    self._served / (self._t_last - self._t_first))
+            return out
+
+    def close(self, timeout: float = 5.0) -> None:
+        with self._lock:
+            self._closed = True
+            self._lock.notify_all()
+        self._thread.join(timeout)
+        with self._lock:
+            for req in self._pending.values():
+                req.future._resolve(None, None,
+                                    error=RuntimeError("server closed"))
+            self._pending.clear()
+
+    def __enter__(self) -> "BatchCaptionServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # ------------------------------------------------------------ scheduler
+
+    def _take_batch(self) -> List[_Request]:
+        """Block until work exists, linger max_wait_ms for coalescing, then
+        take up to max_batch requests FIFO."""
+        with self._lock:
+            while not self._pending and not self._closed:
+                self._lock.wait(0.1)
+            if self._closed and not self._pending:
+                return []
+            if self.max_wait_s > 0:
+                deadline = time.perf_counter() + self.max_wait_s
+                while (len(self._pending) < self.max_batch
+                       and not self._closed):
+                    remaining = deadline - time.perf_counter()
+                    if remaining <= 0:
+                        break
+                    self._lock.wait(remaining)
+            batch: List[_Request] = []
+            while self._pending and len(batch) < self.max_batch:
+                _, req = self._pending.popitem(last=False)
+                batch.append(req)
+            return batch
+
+    def _scheduler_loop(self) -> None:
+        import jax.numpy as jnp
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                with self._lock:
+                    if self._closed and not self._pending:
+                        return
+                continue
+            try:
+                n = len(batch)
+                bucket = next(b for b in self.buckets if b >= n)
+                frames = np.zeros(
+                    (bucket, self.window) + self.frame_shape, np.uint8)
+                for i, req in enumerate(batch):
+                    frames[i] = req.window
+                tokens = np.asarray(
+                    self._jit_step(self.variables, jnp.asarray(frames)))
+                now = time.perf_counter()
+                with self._stats_lock:
+                    self.batch_sizes.append(n)
+                    if self._t_first is None:
+                        self._t_first = now
+                    self._t_last = now
+                    self._served += n
+                for i, req in enumerate(batch):
+                    row = truncate_at_sep(tokens[i])
+                    text = self.tokenizer.decode(row,
+                                                 skip_special_tokens=True)
+                    req.future._resolve(text, row)
+                    with self._stats_lock:
+                        lat = req.future.latency_s
+                        if lat is not None:
+                            self.latencies_s.append(lat)
+            except Exception as e:  # resolve rather than wedge clients
+                for req in batch:
+                    if not req.future.done():
+                        req.future._resolve(None, None, error=e)
+
+
+# ---------------------------------------------------------------- CLI demo
+
+def simulate_streams(source: str, *, n_streams: int = 8,
+                     windows_per_stream: int = 16, max_batch: int = 8,
+                     max_wait_ms: float = 4.0,
+                     config=None) -> Dict[str, float]:
+    """Replay one clip as N concurrent streams against a fresh server
+    (random weights) and report the serving stats — the measurable
+    cross-stream batching number for docs/PERF.md."""
+    import jax
+    import jax.numpy as jnp
+
+    from .config import cfg as default_cfg
+    from .models.student import student_from_config
+    from .real_time_inference import WINDOW, shrink_frame
+    from .tokenization import BertWordPieceTokenizer
+
+    config = config or default_cfg
+    student = student_from_config(config)
+    rng = jax.random.PRNGKey(config.seed)
+    dummy_f = jnp.zeros((1, WINDOW, 224, 224, 3))
+    dummy_y = jnp.array([[student.cls_token_id, 5]], jnp.int32)
+    variables = jax.jit(student.init)(rng, dummy_f, dummy_y)
+
+    # pull windows from the source once; every stream replays them
+    import cv2
+    cap = cv2.VideoCapture(source)
+    frames: List[np.ndarray] = []
+    while len(frames) < WINDOW * windows_per_stream:
+        ret, frame = cap.read()
+        if not ret:
+            break
+        frames.append(shrink_frame(frame))
+    cap.release()
+    if len(frames) < WINDOW:
+        raise RuntimeError(f"source {source!r} too short")
+    wins = [np.stack(frames[i:i + WINDOW])
+            for i in range(0, len(frames) - WINDOW + 1, WINDOW)]
+
+    server = BatchCaptionServer(
+        student, variables, BertWordPieceTokenizer(),
+        max_batch=max_batch, max_wait_ms=max_wait_ms,
+        frame_shape=wins[0].shape[1:])
+
+    results: List[Optional[str]] = []
+    res_lock = threading.Lock()
+
+    def stream_worker(sid: int) -> None:
+        for j in range(windows_per_stream):
+            fut = server.submit(wins[j % len(wins)], stream_id=f"s{sid}")
+            text = fut.result(timeout=120)
+            with res_lock:
+                results.append(text)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=stream_worker, args=(s,))
+               for s in range(n_streams)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    stats = server.stats()
+    server.close()
+    stats["wall_s"] = wall
+    stats["streams"] = float(n_streams)
+    stats["windows_per_s_wall"] = len(results) / wall
+    return stats
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("source", help="video file replayed by every stream")
+    p.add_argument("--streams", type=int, default=8)
+    p.add_argument("--windows", type=int, default=16,
+                   help="windows per stream")
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=4.0)
+    a = p.parse_args(argv)
+    stats = simulate_streams(a.source, n_streams=a.streams,
+                             windows_per_stream=a.windows,
+                             max_batch=a.max_batch,
+                             max_wait_ms=a.max_wait_ms)
+    for k, v in sorted(stats.items()):
+        print(f"{k:28s} {v:.3f}" if isinstance(v, float) else f"{k} {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -115,7 +115,8 @@ def main():
     def attn_only(use_pallas):
         def apply(_, x):
             A.set_pallas_min_kv_len(512 if use_pallas else 10 ** 9)
-            return A.multi_head_attention(x, k, v, prefix_causal_len=p_len)
+            return A.multi_head_attention(x, k, v, causal=True,
+                                          prefix_len=p_len)
         return apply
 
     for tag, flag in (("pallas", True), ("xla", False)):
