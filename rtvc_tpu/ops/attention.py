@@ -135,15 +135,26 @@ def _dropout_bits(seed, bi, ghi, qi, shape, block_q):
 
 def _block_probs(k_ref, v_ref, kvm_ref, q, hh, bi, qi, *, scale, causal,
                  prefix_len, block_q, lkv_valid, masked_kv, dropout_rate,
-                 seed_ref, ghi):
+                 seed_ref, ghi, native_score_dot=False):
     """Shared fwd/bwd block computation: masked softmax probabilities for one
-    (batch, head, q-block), plus the dropout-applied variant."""
+    (batch, head, q-block), plus the dropout-applied variant.
+
+    ``q`` arrives in its REF dtype. ``native_score_dot`` feeds the raw
+    bf16 operands to the score matmul (MXU multiplies bf16 exactly and
+    accumulates f32 — same products as upcasting first, only the
+    accumulation tree may differ); off upcasts to f32 before the dot,
+    the round-2 shipping behavior. A/B: scripts/ab_joint_dtype.py."""
     import jax.experimental.pallas as pl
 
-    k = k_ref[0, hh].astype(jnp.float32)               # [Lkv, D]
+    k_raw = k_ref[0, hh]                               # [Lkv, D]
     v = v_ref[0, hh].astype(jnp.float32)               # [Lkv, D]
+    if native_score_dot:
+        qs, ks = q, k_raw
+    else:
+        qs, ks = q.astype(jnp.float32), k_raw.astype(jnp.float32)
+    k = k_raw.astype(jnp.float32)
     scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        qs, ks, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale    # [block_q, Lkv]
 
     lq_b, lkv = scores.shape
@@ -179,7 +190,7 @@ def _block_probs(k_ref, v_ref, kvm_ref, q, hh, bi, qi, *, scale, causal,
 
 def _make_kernel(scale: float, causal: bool, prefix_len: int, block_q: int,
                  lkv_valid: int, masked_kv: bool, block_h: int,
-                 dropout_rate: float = 0.0):
+                 dropout_rate: float = 0.0, native_score_dot: bool = False):
     from jax.experimental import pallas as pl  # deferred: CPU tests may lack TPU
 
     def kernel(*refs):
@@ -196,13 +207,13 @@ def _make_kernel(scale: float, causal: bool, prefix_len: int, block_q: int,
         # microseconds of work, so per-grid-step overhead dominates —
         # processing block_h heads per step amortizes it.
         for hh in range(block_h):
-            q = q_ref[0, hh].astype(jnp.float32)       # [block_q, D]
+            q = q_ref[0, hh]                           # [block_q, D] ref dtype
             _, probs, _, v = _block_probs(
                 k_ref, v_ref, kvm_ref, q, hh, bi, qi,
                 scale=scale, causal=causal, prefix_len=prefix_len,
                 block_q=block_q, lkv_valid=lkv_valid, masked_kv=masked_kv,
                 dropout_rate=dropout_rate, seed_ref=seed_ref,
-                ghi=hi * block_h + hh)
+                ghi=hi * block_h + hh, native_score_dot=native_score_dot)
             out = jax.lax.dot_general(
                 probs, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)    # [block_q, D]
@@ -233,7 +244,8 @@ def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       prefix_len: int, scale: float,
                       dropout_rate: float = 0.0,
                       seed: Optional[jnp.ndarray] = None,
-                      block_q: int = 256, interpret: bool = False) -> jnp.ndarray:
+                      block_q: int = 256, interpret: bool = False,
+                      native_score_dot: bool = False) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -264,7 +276,8 @@ def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     grid = (b, h // block_h, -(-lq // block_q))
     kernel = _make_kernel(scale, causal, prefix_len, block_q, lkv,
                           masked_kv=kv_mask is not None, block_h=block_h,
-                          dropout_rate=dropout_rate)
+                          dropout_rate=dropout_rate,
+                          native_score_dot=native_score_dot)
     if kv_mask is None:
         kvm = jnp.ones((1, 1), jnp.int32)  # placeholder, never read
         kvm_spec = pl.BlockSpec((1, 1), lambda bi, hi, qi: (0, 0),
@@ -317,7 +330,8 @@ def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _make_bwd_kernel(scale: float, causal: bool, prefix_len: int,
                      block_q: int, lkv_valid: int, masked_kv: bool,
-                     dropout_rate: float, lq_valid: int):
+                     dropout_rate: float, lq_valid: int,
+                     native_score_dot: bool = False):
     from jax.experimental import pallas as pl
 
     def kernel(*refs):
@@ -340,22 +354,24 @@ def _make_bwd_kernel(scale: float, causal: bool, prefix_len: int,
             dk_ref[...] = jnp.zeros_like(dk_ref)
             dv_ref[...] = jnp.zeros_like(dv_ref)
 
-        q = q_ref[0, 0].astype(jnp.float32)            # [block_q, D]
+        q_raw = q_ref[0, 0]                            # [block_q, D] ref dtype
         # Zero the padded rows of the last (partial) q block FIRST: their
         # loads are unspecified (NaN in interpret mode) and 0 * NaN = NaN
         # would poison the dK accumulation even through zeroed dS rows.
-        lq_b = q.shape[0]
+        lq_b = q_raw.shape[0]
         row_ok = (jax.lax.broadcasted_iota(jnp.int32, (lq_b, 1), 0)
                   + qi * block_q) < lq_valid
-        q = jnp.where(row_ok, q, 0.0)
+        q_raw = jnp.where(row_ok, q_raw, 0)
         # block_h is pinned to 1 in the backward pass, so the global head
         # index is just hi — matching the forward's (seed, b, head, qblock)
         # PRNG tuple bit-for-bit.
         probs, probs_used, k, v = _block_probs(
-            k_ref, v_ref, kvm_ref, q, 0, bi, qi,
+            k_ref, v_ref, kvm_ref, q_raw, 0, bi, qi,
             scale=scale, causal=causal, prefix_len=prefix_len,
             block_q=block_q, lkv_valid=lkv_valid, masked_kv=masked_kv,
-            dropout_rate=dropout_rate, seed_ref=seed_ref, ghi=hi)
+            dropout_rate=dropout_rate, seed_ref=seed_ref, ghi=hi,
+            native_score_dot=native_score_dot)
+        q = q_raw.astype(jnp.float32)
         g = g_ref[0, 0].astype(jnp.float32)            # [block_q, D]
 
         # Same for the probs/grad rows: unlike the forward (where garbage
@@ -395,7 +411,8 @@ def _pallas_attention_bwd(q, k, v, kv_mask, g, *, causal: bool,
                           prefix_len: int, scale: float,
                           dropout_rate: float = 0.0,
                           seed: Optional[jnp.ndarray] = None,
-                          block_q: int = 256, interpret: bool = False):
+                          block_q: int = 256, interpret: bool = False,
+                          native_score_dot: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -405,7 +422,8 @@ def _pallas_attention_bwd(q, k, v, kv_mask, g, *, causal: bool,
     grid = (b, h, -(-lq // block_q))
     kernel = _make_bwd_kernel(scale, causal, prefix_len, block_q, lkv,
                               masked_kv=kv_mask is not None,
-                              dropout_rate=dropout_rate, lq_valid=lq)
+                              dropout_rate=dropout_rate, lq_valid=lq,
+                              native_score_dot=native_score_dot)
     if kv_mask is None:
         kvm = jnp.ones((1, 1), jnp.int32)  # placeholder, never read
         kvm_spec = pl.BlockSpec((1, 1), lambda bi, hi, qi: (0, 0),
@@ -450,29 +468,33 @@ def _pallas_attention_bwd(q, k, v, kv_mask, g, *, causal: bool,
 # Public entry with custom VJP (pallas fwd, pallas bwd)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash(q, k, v, kv_mask, seed, causal, prefix_len, scale, dropout_rate):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash(q, k, v, kv_mask, seed, causal, prefix_len, scale, dropout_rate,
+           native_score_dot):
     return _pallas_attention(q, k, v, kv_mask, causal=causal,
                              prefix_len=prefix_len, scale=scale,
                              dropout_rate=dropout_rate, seed=seed,
-                             interpret=not _on_tpu())
+                             interpret=not _on_tpu(),
+                             native_score_dot=native_score_dot)
 
 
 def _flash_fwd(q, k, v, kv_mask, seed, causal, prefix_len, scale,
-               dropout_rate):
+               dropout_rate, native_score_dot):
     out = _pallas_attention(q, k, v, kv_mask, causal=causal,
                             prefix_len=prefix_len, scale=scale,
                             dropout_rate=dropout_rate, seed=seed,
-                            interpret=not _on_tpu())
+                            interpret=not _on_tpu(),
+                            native_score_dot=native_score_dot)
     return out, (q, k, v, kv_mask, seed)
 
 
-def _flash_bwd(causal, prefix_len, scale, dropout_rate, residuals, g):
+def _flash_bwd(causal, prefix_len, scale, dropout_rate, native_score_dot,
+               residuals, g):
     q, k, v, kv_mask, seed = residuals
     dq, dk, dv = _pallas_attention_bwd(
         q, k, v, kv_mask, g, causal=causal, prefix_len=prefix_len,
         scale=scale, dropout_rate=dropout_rate, seed=seed,
-        interpret=not _on_tpu())
+        interpret=not _on_tpu(), native_score_dot=native_score_dot)
     return (dq, dk, dv, None, None)
 
 
@@ -484,7 +506,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     kv_mask: Optional[jnp.ndarray] = None,
                     scale: Optional[float] = None,
                     dropout_rate: float = 0.0,
-                    dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                    dropout_rng: Optional[jax.Array] = None,
+                    native_score_dot: Optional[bool] = None) -> jnp.ndarray:
     """Fused attention; q,k,v: [B, H, L, D]. Pallas on TPU (interpret mode
     elsewhere — production CPU paths route to xla_attention upstream).
 
@@ -503,8 +526,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                                   jnp.iinfo(jnp.int32).max, jnp.int32)
     else:
         seed = None
+    if native_score_dot is None:
+        native_score_dot = SCORE_DOT_NATIVE
     return _flash(q, k, v, kv_mask, seed, causal, prefix_len, float(scale),
-                  float(dropout_rate))
+                  float(dropout_rate), bool(native_score_dot))
 
 
 def _on_tpu() -> bool:
@@ -618,6 +643,18 @@ def blhd_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 # where the score matrix is big enough to dominate: the 1582-token joint
 # teacher context. The student's tiny decode/cross shapes also stay XLA.
 PALLAS_MIN_KV_LEN = 512
+
+# Score-matmul operand dtype inside the Pallas kernel: False upcasts
+# q/k to f32 before the dot (round-2 shipping), True hands the raw bf16
+# operands to the MXU (same exact products, f32 accumulation either way —
+# only the accumulation tree may differ). A/B: scripts/ab_joint_dtype.py.
+SCORE_DOT_NATIVE = False
+
+
+def set_score_dot_native(value: bool) -> None:
+    """Flip the Pallas score-dot operand dtype (A/B scripts; trace-time)."""
+    global SCORE_DOT_NATIVE
+    SCORE_DOT_NATIVE = bool(value)
 
 
 def set_pallas_min_kv_len(value: int) -> None:

@@ -10,7 +10,8 @@ from rtvc_tpu.ops import (
     create_padding_mask,
     multi_head_attention,
 )
-from rtvc_tpu.ops.attention import _pallas_attention, xla_attention
+from rtvc_tpu.ops.attention import (_pallas_attention, _pallas_attention_bwd,
+                                    xla_attention)
 from rtvc_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD, clip_preprocess
 
 
@@ -99,6 +100,34 @@ def test_pallas_attention_interpret_matches_xla(causal, prefix):
                               kv_mask=kv_mask)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_native_score_dot_parity():
+    """native_score_dot feeds raw bf16 operands to the score matmul — the
+    products are exact either way (bf16 is a subset of f32) and both arms
+    accumulate in f32, so fwd AND bwd must agree to bf16 output rounding
+    (the accumulation tree may differ → one-ULP flips on a handful of
+    elements; measured 1/17k elements at 1 ULP)."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(7), lq=67, lkv=71, d=32)
+    q = q.astype(jnp.bfloat16)
+    k = k.astype(jnp.bfloat16)
+    v = v.astype(jnp.bfloat16)
+    kw = dict(causal=True, prefix_len=5, scale=32 ** -0.5, interpret=True)
+    with jax.default_matmul_precision("highest"):
+        base = _pallas_attention(q, k, v, None, **kw)
+        native = _pallas_attention(q, k, v, None, native_score_dot=True, **kw)
+        np.testing.assert_allclose(np.asarray(base, np.float32),
+                                   np.asarray(native, np.float32),
+                                   atol=1e-3, rtol=1e-2)
+        g = jax.random.normal(jax.random.PRNGKey(8), base.shape,
+                              jnp.float32).astype(jnp.bfloat16)
+        base_grads = _pallas_attention_bwd(q, k, v, None, g, **kw)
+        native_grads = _pallas_attention_bwd(q, k, v, None, g,
+                                             native_score_dot=True, **kw)
+        for a, b in zip(base_grads, native_grads):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       atol=1e-3, rtol=1e-2)
 
 
 def test_mha_gradients_flow():
