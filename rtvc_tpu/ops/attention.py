@@ -135,7 +135,7 @@ def _dropout_bits(seed, bi, ghi, qi, shape, block_q):
 
 def _block_probs(k_ref, v_ref, kvm_ref, q, hh, bi, qi, *, scale, causal,
                  prefix_len, block_q, lkv_valid, masked_kv, dropout_rate,
-                 seed_ref, ghi, native_score_dot=False):
+                 seed_ref, ghi, native_score_dot=False, softmax_native=False):
     """Shared fwd/bwd block computation: masked softmax probabilities for one
     (batch, head, q-block), plus the dropout-applied variant.
 
@@ -143,19 +143,33 @@ def _block_probs(k_ref, v_ref, kvm_ref, q, hh, bi, qi, *, scale, causal,
     bf16 operands to the score matmul (MXU multiplies bf16 exactly and
     accumulates f32 — same products as upcasting first, only the
     accumulation tree may differ); off upcasts to f32 before the dot,
-    the round-2 shipping behavior. A/B: scripts/ab_joint_dtype.py."""
+    the round-2 shipping behavior. A/B: scripts/ab_joint_dtype.py.
+
+    ``softmax_native`` keeps the [block_q, Lkv] score tensor and the
+    exp in the REF dtype (the §1b window-attention lever applied inside
+    the kernel): the MXU emits bf16 scores directly, max/sub/exp run at
+    2x VPU width, and the returned probs stay bf16 so the AV matmul gets
+    native operands. The row normalizer z is still ACCUMULATED in f32
+    (a bf16 sum over 1582 terms would lose ~log2(n) ULPs) and applied as
+    a f32-reciprocal multiply. Returned probs then carry one bf16
+    rounding each; A/B + teacher-logit delta: scripts/ab_joint_softmax.py."""
     import jax.experimental.pallas as pl
 
     k_raw = k_ref[0, hh]                               # [Lkv, D]
     v = v_ref[0, hh].astype(jnp.float32)               # [Lkv, D]
-    if native_score_dot:
+    acc_t = q.dtype if softmax_native else jnp.float32
+    if native_score_dot or softmax_native:
         qs, ks = q, k_raw
     else:
         qs, ks = q.astype(jnp.float32), k_raw.astype(jnp.float32)
     k = k_raw.astype(jnp.float32)
+    # Mosaic only lowers 32-bit matmul accumulators, so the dot itself is
+    # always pref=f32; softmax_native narrows the RESULT — one truncating
+    # cast, after which every downstream VPU op runs at bf16 width.
     scores = jax.lax.dot_general(
         qs, ks, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale    # [block_q, Lkv]
+        preferred_element_type=jnp.float32).astype(acc_t) \
+        * jnp.asarray(scale, acc_t)
 
     lq_b, lkv = scores.shape
     k_idx = jax.lax.broadcasted_iota(jnp.int32, (lq_b, lkv), 1)
@@ -168,21 +182,33 @@ def _block_probs(k_ref, v_ref, kvm_ref, q, hh, bi, qi, *, scale, causal,
     if masked_kv:
         kvm = kvm_ref[pl.ds(bi, 1), :] > 0             # [1, Lkv] key-validity
         valid = valid & kvm
-    scores = jnp.where(valid, scores, _NEG_INF)
+    # _NEG_INF = -1e30 is representable in bf16 (same exponent range as
+    # f32), so the masked-columns-underflow-to-exact-0 property below
+    # holds in both dtypes.
+    scores = jnp.where(valid, scores, jnp.asarray(_NEG_INF, acc_t))
 
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     # Padded/masked columns have scores = -1e30, so e underflows to an
     # exact 0.0 — any garbage in physically-padded V rows is multiplied
     # by zero and cannot reach valid outputs.
-    z = jnp.sum(e, axis=-1, keepdims=True)
-    probs = e / z
+    z = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+    if softmax_native:
+        # Normalize via a [rows, 1] f32-reciprocal rounded to bf16 and a
+        # bf16 broadcast-multiply — an exact-f32 division would upcast the
+        # whole score-shaped e tensor, forfeiting the VPU width win. Cost:
+        # one extra bf16 rounding on probs that are bf16 anyway.
+        probs = e * (1.0 / z).astype(acc_t)
+    else:
+        probs = e / z
 
     if dropout_rate > 0.0:
         bits = _dropout_bits(seed_ref[0], bi, ghi, qi, (lq_b, lkv), block_q)
         thresh = jnp.uint32(int(dropout_rate * (2 ** 32)))
         keep = bits >= thresh
-        probs_used = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        probs_used = jnp.where(keep,
+                               probs / jnp.asarray(1.0 - dropout_rate, acc_t),
+                               jnp.asarray(0.0, acc_t))
     else:
         probs_used = probs
     return probs, probs_used, k, v
@@ -190,7 +216,8 @@ def _block_probs(k_ref, v_ref, kvm_ref, q, hh, bi, qi, *, scale, causal,
 
 def _make_kernel(scale: float, causal: bool, prefix_len: int, block_q: int,
                  lkv_valid: int, masked_kv: bool, block_h: int,
-                 dropout_rate: float = 0.0, native_score_dot: bool = False):
+                 dropout_rate: float = 0.0, native_score_dot: bool = False,
+                 softmax_native: bool = False):
     from jax.experimental import pallas as pl  # deferred: CPU tests may lack TPU
 
     def kernel(*refs):
@@ -213,7 +240,12 @@ def _make_kernel(scale: float, causal: bool, prefix_len: int, block_q: int,
                 scale=scale, causal=causal, prefix_len=prefix_len,
                 block_q=block_q, lkv_valid=lkv_valid, masked_kv=masked_kv,
                 dropout_rate=dropout_rate, seed_ref=seed_ref,
-                ghi=hi * block_h + hh, native_score_dot=native_score_dot)
+                ghi=hi * block_h + hh, native_score_dot=native_score_dot,
+                softmax_native=softmax_native)
+            if softmax_native:
+                # probs are bf16: give the AV matmul native operands too
+                # (v's f32->bf16 cast folds back to the ref load).
+                v = v.astype(probs.dtype)
             out = jax.lax.dot_general(
                 probs, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)    # [block_q, D]
@@ -245,9 +277,13 @@ def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       dropout_rate: float = 0.0,
                       seed: Optional[jnp.ndarray] = None,
                       block_q: int = 256, interpret: bool = False,
-                      native_score_dot: bool = False) -> jnp.ndarray:
+                      native_score_dot: bool = False,
+                      softmax_native: bool = False) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if softmax_native and q.dtype == jnp.float32:
+        softmax_native = False  # ref dtype IS f32 — nothing to narrow
 
     b, h, lq, d = q.shape
     lkv = k.shape[2]
@@ -277,7 +313,8 @@ def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kernel = _make_kernel(scale, causal, prefix_len, block_q, lkv,
                           masked_kv=kv_mask is not None, block_h=block_h,
                           dropout_rate=dropout_rate,
-                          native_score_dot=native_score_dot)
+                          native_score_dot=native_score_dot,
+                          softmax_native=softmax_native)
     if kv_mask is None:
         kvm = jnp.ones((1, 1), jnp.int32)  # placeholder, never read
         kvm_spec = pl.BlockSpec((1, 1), lambda bi, hi, qi: (0, 0),
@@ -331,7 +368,8 @@ def _pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def _make_bwd_kernel(scale: float, causal: bool, prefix_len: int,
                      block_q: int, lkv_valid: int, masked_kv: bool,
                      dropout_rate: float, lq_valid: int,
-                     native_score_dot: bool = False):
+                     native_score_dot: bool = False,
+                     softmax_native: bool = False):
     from jax.experimental import pallas as pl
 
     def kernel(*refs):
@@ -370,7 +408,11 @@ def _make_bwd_kernel(scale: float, causal: bool, prefix_len: int,
             scale=scale, causal=causal, prefix_len=prefix_len,
             block_q=block_q, lkv_valid=lkv_valid, masked_kv=masked_kv,
             dropout_rate=dropout_rate, seed_ref=seed_ref, ghi=hi,
-            native_score_dot=native_score_dot)
+            native_score_dot=native_score_dot, softmax_native=softmax_native)
+        # softmax_native returns bf16 probs (the same values the forward
+        # used); the gradient math below stays f32 for accumulation.
+        probs = probs.astype(jnp.float32)
+        probs_used = probs_used.astype(jnp.float32)
         q = q_raw.astype(jnp.float32)
         g = g_ref[0, 0].astype(jnp.float32)            # [block_q, D]
 
@@ -412,10 +454,13 @@ def _pallas_attention_bwd(q, k, v, kv_mask, g, *, causal: bool,
                           dropout_rate: float = 0.0,
                           seed: Optional[jnp.ndarray] = None,
                           block_q: int = 256, interpret: bool = False,
-                          native_score_dot: bool = False):
+                          native_score_dot: bool = False,
+                          softmax_native: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if softmax_native and q.dtype == jnp.float32:
+        softmax_native = False  # mirror the forward's demotion
     b, h, lq, d = q.shape
     lkv = k.shape[2]
     block_q, _ = _block_geometry(lq, lkv, d, h, q.dtype.itemsize, block_q)
@@ -423,7 +468,8 @@ def _pallas_attention_bwd(q, k, v, kv_mask, g, *, causal: bool,
     kernel = _make_bwd_kernel(scale, causal, prefix_len, block_q, lkv,
                               masked_kv=kv_mask is not None,
                               dropout_rate=dropout_rate, lq_valid=lq,
-                              native_score_dot=native_score_dot)
+                              native_score_dot=native_score_dot,
+                              softmax_native=softmax_native)
     if kv_mask is None:
         kvm = jnp.ones((1, 1), jnp.int32)  # placeholder, never read
         kvm_spec = pl.BlockSpec((1, 1), lambda bi, hi, qi: (0, 0),
@@ -468,33 +514,36 @@ def _pallas_attention_bwd(q, k, v, kv_mask, g, *, causal: bool,
 # Public entry with custom VJP (pallas fwd, pallas bwd)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _flash(q, k, v, kv_mask, seed, causal, prefix_len, scale, dropout_rate,
-           native_score_dot):
+           native_score_dot, softmax_native):
     return _pallas_attention(q, k, v, kv_mask, causal=causal,
                              prefix_len=prefix_len, scale=scale,
                              dropout_rate=dropout_rate, seed=seed,
                              interpret=not _on_tpu(),
-                             native_score_dot=native_score_dot)
+                             native_score_dot=native_score_dot,
+                             softmax_native=softmax_native)
 
 
 def _flash_fwd(q, k, v, kv_mask, seed, causal, prefix_len, scale,
-               dropout_rate, native_score_dot):
+               dropout_rate, native_score_dot, softmax_native):
     out = _pallas_attention(q, k, v, kv_mask, causal=causal,
                             prefix_len=prefix_len, scale=scale,
                             dropout_rate=dropout_rate, seed=seed,
                             interpret=not _on_tpu(),
-                            native_score_dot=native_score_dot)
+                            native_score_dot=native_score_dot,
+                            softmax_native=softmax_native)
     return out, (q, k, v, kv_mask, seed)
 
 
 def _flash_bwd(causal, prefix_len, scale, dropout_rate, native_score_dot,
-               residuals, g):
+               softmax_native, residuals, g):
     q, k, v, kv_mask, seed = residuals
     dq, dk, dv = _pallas_attention_bwd(
         q, k, v, kv_mask, g, causal=causal, prefix_len=prefix_len,
         scale=scale, dropout_rate=dropout_rate, seed=seed,
-        interpret=not _on_tpu(), native_score_dot=native_score_dot)
+        interpret=not _on_tpu(), native_score_dot=native_score_dot,
+        softmax_native=softmax_native)
     return (dq, dk, dv, None, None)
 
 
@@ -507,7 +556,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     scale: Optional[float] = None,
                     dropout_rate: float = 0.0,
                     dropout_rng: Optional[jax.Array] = None,
-                    native_score_dot: Optional[bool] = None) -> jnp.ndarray:
+                    native_score_dot: Optional[bool] = None,
+                    softmax_in_input_dtype: Optional[bool] = None
+                    ) -> jnp.ndarray:
     """Fused attention; q,k,v: [B, H, L, D]. Pallas on TPU (interpret mode
     elsewhere — production CPU paths route to xla_attention upstream).
 
@@ -528,8 +579,11 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         seed = None
     if native_score_dot is None:
         native_score_dot = SCORE_DOT_NATIVE
+    if softmax_in_input_dtype is None:
+        softmax_in_input_dtype = SOFTMAX_NATIVE_PALLAS
     return _flash(q, k, v, kv_mask, seed, causal, prefix_len, float(scale),
-                  float(dropout_rate), bool(native_score_dot))
+                  float(dropout_rate), bool(native_score_dot),
+                  bool(softmax_in_input_dtype))
 
 
 def _on_tpu() -> bool:
@@ -657,6 +711,20 @@ def set_score_dot_native(value: bool) -> None:
     SCORE_DOT_NATIVE = bool(value)
 
 
+# Keep the Pallas kernel's score tensor / softmax in the input dtype
+# (bf16): the in-kernel analogue of xla_attention's
+# ``softmax_in_input_dtype`` (the §1b window-attention lever). Row
+# normalizers still accumulate in f32. Default per the joint-shape A/B
+# (scripts/ab_joint_softmax.py; docs/PERF.md §1c). No-op for f32 inputs.
+SOFTMAX_NATIVE_PALLAS = False
+
+
+def set_softmax_native_pallas(value: bool) -> None:
+    """Flip the Pallas in-kernel softmax dtype (A/B scripts; trace-time)."""
+    global SOFTMAX_NATIVE_PALLAS
+    SOFTMAX_NATIVE_PALLAS = bool(value)
+
+
 def set_pallas_min_kv_len(value: int) -> None:
     """Tune the pallas-vs-XLA dispatch threshold (tests/benchmarks)."""
     global PALLAS_MIN_KV_LEN
@@ -691,7 +759,8 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         return flash_attention(
             q, k, v, causal=causal, prefix_len=prefix_len, kv_mask=kv_mask,
             scale=scale, dropout_rate=dropout_rate if wants_dropout else 0.0,
-            dropout_rng=dropout_rng)
+            dropout_rng=dropout_rng,
+            softmax_in_input_dtype=softmax_in_input_dtype or None)
     return xla_attention(q, k, v, causal=causal, prefix_len=prefix_len,
                          kv_mask=kv_mask, bias=bias, scale=scale,
                          dropout_rate=dropout_rate if wants_dropout else 0.0,

@@ -130,6 +130,40 @@ def test_pallas_native_score_dot_parity():
                                        atol=1e-3, rtol=1e-2)
 
 
+def test_pallas_softmax_native_close_and_bwd_consistent():
+    """softmax_native keeps scores/exp/probs in bf16 inside the kernel
+    (f32 row normalizer). Values must track the f32-softmax path to
+    bf16-rounding accuracy, fwd and bwd, and padded/masked columns must
+    still contribute exact zeros."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(11), lq=67, lkv=71, d=32)
+    q = q.astype(jnp.bfloat16)
+    k = k.astype(jnp.bfloat16)
+    v = v.astype(jnp.bfloat16)
+    kvm = (jnp.arange(71)[None, :] < 59).repeat(q.shape[0], axis=0)
+    kw = dict(causal=True, prefix_len=5, scale=32 ** -0.5, interpret=True)
+    with jax.default_matmul_precision("highest"):
+        base = _pallas_attention(q, k, v, kvm, **kw)
+        native = _pallas_attention(q, k, v, kvm, softmax_native=True, **kw)
+        np.testing.assert_allclose(np.asarray(base, np.float32),
+                                   np.asarray(native, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+        g = jax.random.normal(jax.random.PRNGKey(12), base.shape,
+                              jnp.float32).astype(jnp.bfloat16)
+        base_grads = _pallas_attention_bwd(q, k, v, kvm, g, **kw)
+        native_grads = _pallas_attention_bwd(q, k, v, kvm, g,
+                                             softmax_native=True, **kw)
+        for a, b in zip(base_grads, native_grads):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       atol=3e-2, rtol=3e-2)
+    # f32 inputs: the flag must demote to a no-op (bitwise-equal outputs).
+    qf, kf, vf = _rand_qkv(jax.random.PRNGKey(13), lq=16, lkv=24, d=16)
+    kwf = dict(causal=False, prefix_len=0, scale=16 ** -0.5, interpret=True)
+    a = _pallas_attention(qf, kf, vf, None, **kwf)
+    b = _pallas_attention(qf, kf, vf, None, softmax_native=True, **kwf)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_mha_gradients_flow():
     q, k, v = _rand_qkv(jax.random.PRNGKey(2), lq=8, lkv=8, d=16)
 
