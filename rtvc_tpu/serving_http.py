@@ -1,0 +1,235 @@
+"""HTTP front-end for the batched caption server.
+
+The reference's serving story ends at a synchronous webcam loop
+(reference src/real_time_inference.py:38-77); ``serving.py`` generalizes
+that to multi-stream batched inference behind ``BatchCaptionServer.submit``.
+This module puts a network boundary in front of ``submit`` so remote
+clients (cameras, edge boxes, load generators) can share one TPU:
+
+    POST /v1/caption      caption one frame window
+    GET  /v1/stats        scheduler/batching statistics
+    GET  /healthz         liveness
+
+Stdlib-only (``http.server.ThreadingHTTPServer``): one OS thread per
+in-flight request, each parked on its ``CaptionFuture`` — the actual
+batching/coalescing stays in the server's single scheduler thread, so
+the concurrency model is unchanged from the in-process API.
+
+Request formats (both carry raw uint8 RGB/BGR bytes, C-order):
+
+- ``application/octet-stream`` body = ``window*H*W*3`` bytes with header
+  ``X-Frames-Shape: <window>,<H>,<W>,3``; optional ``X-Stream-Id``.
+- ``application/json`` body = ``{"frames_b64": ..., "shape": [w,h,wd,3],
+  "stream_id": ..., "timeout_s": ...}``.
+
+Responses: 200 ``{"caption", "latency_ms"}``; 409 if a newer window from
+the same stream superseded this one; 400/408/503 for bad input / timeout
+/ closed server.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from .serving import BatchCaptionServer
+
+DEFAULT_TIMEOUT_S = 60.0
+MAX_BODY_BYTES = 64 * 1024 * 1024
+
+
+class CaptionHTTPFrontend:
+    """Serve one ``BatchCaptionServer`` over HTTP.
+
+    >>> with CaptionHTTPFrontend(server, port=0) as fe:   # doctest: +SKIP
+    ...     print(fe.port)
+    """
+
+    def __init__(self, server: BatchCaptionServer, *, host: str = "127.0.0.1",
+                 port: int = 8080):
+        self.server = server
+        frontend = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # Quiet by default: the BaseHTTPRequestHandler stderr log is
+            # per-request noise in production; stats live at /v1/stats.
+            def log_message(self, fmt: str, *args: Any) -> None:
+                pass
+
+            def _send_json(self, code: int, payload: Dict[str, Any]) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self) -> None:  # noqa: N802 (http.server API)
+                if self.path == "/healthz":
+                    self._send_json(200, {"ok": True})
+                elif self.path == "/v1/stats":
+                    self._send_json(200, frontend.server.stats())
+                else:
+                    self._send_json(404, {"error": "not found"})
+
+            def do_POST(self) -> None:  # noqa: N802
+                if self.path != "/v1/caption":
+                    self._send_json(404, {"error": "not found"})
+                    return
+                try:
+                    window, stream_id, timeout_s = self._parse_caption_body()
+                except _BadRequest as e:
+                    self._send_json(400, {"error": str(e)})
+                    return
+                try:
+                    fut = frontend.server.submit(window, stream_id=stream_id)
+                except RuntimeError as e:  # server closed
+                    self._send_json(503, {"error": str(e)})
+                    return
+                except ValueError as e:  # wrong window shape for server
+                    self._send_json(400, {"error": str(e)})
+                    return
+                try:
+                    text = fut.result(timeout=timeout_s)
+                except TimeoutError:
+                    self._send_json(408, {"error": "caption timed out"})
+                    return
+                except Exception as e:  # scheduler-side failure
+                    self._send_json(500, {"error": str(e)})
+                    return
+                if text is None:  # resolved-but-None == superseded
+                    self._send_json(409, {"superseded": True})
+                    return
+                lat = fut.latency_s
+                self._send_json(200, {
+                    "caption": text,
+                    "latency_ms": None if lat is None else lat * 1e3,
+                })
+
+            def _parse_caption_body(
+                    self) -> Tuple[np.ndarray, Optional[str], float]:
+                length = int(self.headers.get("Content-Length") or 0)
+                if length <= 0:
+                    raise _BadRequest("empty body")
+                if length > MAX_BODY_BYTES:
+                    raise _BadRequest("body too large")
+                raw = self.rfile.read(length)
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+                timeout_s = DEFAULT_TIMEOUT_S
+                if ctype == "application/json":
+                    try:
+                        payload = json.loads(raw)
+                        shape = tuple(int(s) for s in payload["shape"])
+                        buf = base64.b64decode(payload["frames_b64"])
+                    except (KeyError, ValueError, TypeError) as e:
+                        raise _BadRequest(f"bad JSON caption request: {e}")
+                    stream_id = payload.get("stream_id")
+                    timeout_s = float(payload.get("timeout_s", timeout_s))
+                else:
+                    hdr = self.headers.get("X-Frames-Shape")
+                    if not hdr:
+                        raise _BadRequest(
+                            "octet-stream needs X-Frames-Shape: w,h,wd,3")
+                    try:
+                        shape = tuple(int(s) for s in hdr.split(","))
+                    except ValueError:
+                        raise _BadRequest(f"bad X-Frames-Shape {hdr!r}")
+                    buf = raw
+                    stream_id = self.headers.get("X-Stream-Id")
+                expected = int(np.prod(shape))
+                if len(buf) != expected:
+                    raise _BadRequest(
+                        f"frame buffer is {len(buf)} bytes, shape {shape} "
+                        f"needs {expected}")
+                window = np.frombuffer(buf, np.uint8).reshape(shape)
+                return window, stream_id, timeout_s
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd.daemon_threads = True
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> "CaptionHTTPFrontend":
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        kwargs={"poll_interval": 0.05},
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+
+    def __enter__(self) -> "CaptionHTTPFrontend":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class _BadRequest(ValueError):
+    pass
+
+
+def main(argv: Optional[list] = None) -> None:
+    """Serve captions over HTTP (random weights unless --ckpt is given)."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    from .config import cfg
+    from .models.student import student_from_config
+    from .real_time_inference import WINDOW
+    from .tokenization import BertWordPieceTokenizer
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint dir (data/io.py layout); random init "
+                        "if omitted")
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=4.0)
+    p.add_argument("--frame-size", type=int, default=224,
+                   help="expected square frame edge of incoming windows")
+    a = p.parse_args(argv)
+
+    student = student_from_config(cfg)
+    dummy_f = jnp.zeros((1, WINDOW, 224, 224, 3))
+    dummy_y = jnp.array([[student.cls_token_id, 5]], jnp.int32)
+    variables = jax.jit(student.init)(jax.random.PRNGKey(cfg.seed),
+                                      dummy_f, dummy_y)
+    if a.ckpt:
+        from .data.io import load_checkpoint
+        restored = load_checkpoint(a.ckpt)
+        variables = {**variables, "params": restored["params"]}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
+
+    server = BatchCaptionServer(
+        student, variables, BertWordPieceTokenizer(),
+        max_batch=a.max_batch, max_wait_ms=a.max_wait_ms,
+        frame_shape=(a.frame_size, a.frame_size, 3), window=WINDOW)
+    with CaptionHTTPFrontend(server, host=a.host, port=a.port) as fe:
+        print(f"serving on http://{a.host}:{fe.port}  "
+              f"(POST /v1/caption, GET /v1/stats)", flush=True)
+        try:
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            pass
+    server.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""HTTP front-end tests (rtvc_tpu/serving_http.py).
+
+Drives a real ThreadingHTTPServer over a loopback socket with urllib:
+octet-stream and JSON request formats, caption equality with the
+in-process API, supersession -> 409, stats/healthz endpoints, and input
+validation -> 400.
+"""
+
+import base64
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtvc_tpu.serving import BatchCaptionServer
+from rtvc_tpu.serving_http import CaptionHTTPFrontend
+from rtvc_tpu.tokenization import BertWordPieceTokenizer
+
+from test_models import tiny_student
+
+WINDOW = 3
+FRAME = (64, 64, 3)
+
+
+@pytest.fixture(scope="module")
+def frontend():
+    model = tiny_student(dropout=0.0)
+    frames = jnp.zeros((1, WINDOW, 224, 224, 3), jnp.float32)
+    y = jnp.array([[model.cls_token_id, 5]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), frames, y)
+    server = BatchCaptionServer(model, variables, BertWordPieceTokenizer(),
+                                max_batch=2, max_wait_ms=5.0, max_len=8,
+                                frame_shape=FRAME, window=WINDOW)
+    with CaptionHTTPFrontend(server, port=0) as fe:
+        yield fe, server
+    server.close()
+
+
+def _window(seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, size=(WINDOW,) + FRAME).astype(np.uint8)
+
+
+def _post(fe, path, data, headers):
+    req = urllib.request.Request(f"http://127.0.0.1:{fe.port}{path}",
+                                 data=data, headers=headers, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(fe, path):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{fe.port}{path}", timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz_and_stats(frontend):
+    fe, _ = frontend
+    assert _get(fe, "/healthz") == (200, {"ok": True})
+    status, stats = _get(fe, "/v1/stats")
+    assert status == 200 and "served" in stats
+
+
+def test_octet_stream_caption_matches_inprocess(frontend):
+    fe, server = frontend
+    win = _window(1)
+    expected = server.submit(win).result(timeout=120)
+    shape_hdr = ",".join(str(s) for s in win.shape)
+    status, payload = _post(fe, "/v1/caption", win.tobytes(), {
+        "Content-Type": "application/octet-stream",
+        "X-Frames-Shape": shape_hdr,
+    })
+    assert status == 200
+    assert payload["caption"] == expected
+    assert payload["latency_ms"] > 0
+
+
+def test_json_caption_matches_inprocess(frontend):
+    fe, server = frontend
+    win = _window(2)
+    expected = server.submit(win).result(timeout=120)
+    body = json.dumps({
+        "frames_b64": base64.b64encode(win.tobytes()).decode(),
+        "shape": list(win.shape),
+    }).encode()
+    status, payload = _post(fe, "/v1/caption", body,
+                            {"Content-Type": "application/json"})
+    assert status == 200
+    assert payload["caption"] == expected
+
+
+def test_supersession_maps_to_409(frontend):
+    fe, server = frontend
+    # Stall the scheduler briefly so two same-stream windows are pending
+    # together: submit both before the first can dispatch.
+    results = {}
+
+    def post_one(tag, seed):
+        win = _window(seed)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{fe.port}/v1/caption", data=win.tobytes(),
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Frames-Shape": ",".join(str(s) for s in win.shape),
+                     "X-Stream-Id": "cam0"}, method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                results[tag] = (r.status, json.loads(r.read()))
+        except urllib.error.HTTPError as e:
+            results[tag] = (e.code, json.loads(e.read()))
+
+    threads = [threading.Thread(target=post_one, args=(i, 10 + i))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    codes = [c for c, _ in results.values()]
+    # At least one request must complete; any superseded one returns 409
+    # with the marker payload. (Timing decides how many get superseded.)
+    assert 200 in codes
+    for code, payload in results.values():
+        if code == 409:
+            assert payload == {"superseded": True}
+        else:
+            assert code == 200 and isinstance(payload["caption"], str)
+
+
+@pytest.mark.parametrize("body,headers,why", [
+    (b"", {"Content-Type": "application/octet-stream",
+           "X-Frames-Shape": "3,64,64,3"}, "empty body"),
+    (b"\x00" * 17, {"Content-Type": "application/octet-stream",
+                    "X-Frames-Shape": "3,64,64,3"}, "size mismatch"),
+    (b"\x00" * 64, {"Content-Type": "application/octet-stream"},
+     "missing shape header"),
+    (json.dumps({"shape": [3, 64, 64, 3]}).encode(),
+     {"Content-Type": "application/json"}, "missing frames_b64"),
+])
+def test_bad_requests_return_400(frontend, body, headers, why):
+    fe, _ = frontend
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(fe, "/v1/caption", body, headers)
+    assert ei.value.code == 400, why
+
+
+def test_wrong_window_shape_returns_400(frontend):
+    fe, _ = frontend
+    win = np.zeros((WINDOW, 32, 32, 3), np.uint8)  # server expects 64x64
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(fe, "/v1/caption", win.tobytes(), {
+            "Content-Type": "application/octet-stream",
+            "X-Frames-Shape": ",".join(str(s) for s in win.shape),
+        })
+    assert ei.value.code == 400
+
+
+def test_unknown_path_404(frontend):
+    fe, _ = frontend
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(fe, "/v2/nope")
+    assert ei.value.code == 404
