@@ -130,6 +130,10 @@ class TrainConfig:
     # > 0 = evaluate with the student's k-beam search instead (the
     # reference implemented beam search but never evaluated with it).
     eval_beam_size: int = 0
+    # Write epoch-end checkpoints on a background thread (the fetch+disk
+    # write of the full train state otherwise stalls the loop for tens of
+    # seconds over a slow device link; data/io.py::AsyncCheckpointSaver).
+    async_checkpointing: bool = True
 
 
 @dataclass(frozen=True)

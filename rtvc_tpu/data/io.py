@@ -38,6 +38,59 @@ def save_checkpoint(path: str, tree: PyTree, force: bool = True) -> None:
     ckptr.save(path, jax.tree.map(np.asarray, tree), force=force)
 
 
+class AsyncCheckpointSaver:
+    """Background checkpoint writer.
+
+    ``save_checkpoint`` blocks on a full device→host fetch of the train
+    state plus the orbax disk write — tens of seconds for the ~500 MB
+    student+optimizer tree over a slow device link. JAX arrays are
+    immutable, so both can run on a worker thread while the train loop
+    keeps dispatching steps against the SAME state snapshot; training
+    only ever waits if the next epoch finishes before the previous save
+    did (one save in flight at a time keeps checkpoints ordered).
+
+    Errors surface on the next ``save``/``wait`` call rather than being
+    swallowed. Replaces the synchronous epoch-end stall; the reference's
+    Lightning ModelCheckpoint (reference config.py:47-54) was fully
+    synchronous.
+    """
+
+    def __init__(self) -> None:
+        import threading
+        self._threading = threading
+        self._thread: Optional[Any] = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, path: str, tree: PyTree, force: bool = True,
+             on_done: Optional[Any] = None) -> None:
+        """Queue one checkpoint write; joins any still-running previous
+        write first. ``on_done()`` runs on the worker after a successful
+        save (e.g. stale-checkpoint pruning)."""
+        self.wait()
+
+        def work() -> None:
+            try:
+                save_checkpoint(path, tree, force=force)
+                if on_done is not None:
+                    on_done()
+            except BaseException as e:  # re-raised on the caller's thread
+                self._error = e
+
+        self._thread = self._threading.Thread(
+            target=work, name="ckpt-save", daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) finishes; re-raise its
+        error on this thread."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+
 def restore_checkpoint(path: str, target: Optional[PyTree] = None) -> PyTree:
     ckptr = _checkpointer()
     if target is not None:

@@ -136,31 +136,55 @@ class BatchCaptionServer:
         scheduler linger after the first pending request — the
         latency/throughput knob. 0 = dispatch immediately (lowest latency);
         a few ms lets concurrent streams coalesce into full batches.
+    beam:
+        0 decodes greedily (reference real-time behavior); K>0 runs the
+        fixed-shape batch beam search (decode.student_beam, reference
+        model.py:189-317) inside the same bucket-compiled programs.
     buckets:
         compiled batch sizes; requests are padded up to the next bucket.
     frame_shape:
         (H, W, 3) of incoming uint8 frames; all streams must agree (resize
         on the client/grabber side — ``real_time_inference.shrink_frame``).
+    mesh:
+        optional ``jax.sharding.Mesh`` with a ``dp`` axis: params are
+        replicated once, every batch is sharded over ``dp``, and each
+        bucket-compiled program runs data-parallel across the mesh's
+        chips (rows are independent, so N chips serve ~N× the streams at
+        the same per-window latency). Buckets are rounded up to multiples
+        of dp so every shard gets equal rows.
     """
 
     def __init__(self, student: StudentCandidateV1, variables: Any,
                  tokenizer: Any, *, max_batch: int = 8,
                  max_wait_ms: float = 4.0, max_len: int = 25,
+                 beam: int = 0,
                  buckets: Optional[Sequence[int]] = None,
                  frame_shape: Tuple[int, int, int] = (224, 224, 3),
-                 window: int = 6, warmup: bool = True):
+                 window: int = 6, warmup: bool = True, mesh: Any = None):
         import jax
 
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.student = student
-        self.variables = variables
         self.tokenizer = tokenizer
+        self.mesh = mesh
+        self._dp = int(mesh.shape.get("dp", 1)) if mesh is not None else 1
+        if self._dp > 1:
+            from .parallel.mesh import replicate
+            # round max_batch up so the largest bucket splits evenly
+            max_batch = -(-int(max_batch) // self._dp) * self._dp
+            variables = replicate(variables, mesh)
+        self.variables = variables
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.max_len = int(max_len)
+        self.beam = int(beam)  # 0 = greedy; K>0 = fixed-shape beam search
         self.buckets = tuple(sorted(buckets)) if buckets else \
             default_buckets(self.max_batch)
+        if self._dp > 1:
+            # every compiled batch size must shard evenly over dp
+            self.buckets = tuple(sorted(
+                {-(-b // self._dp) * self._dp for b in self.buckets}))
         if self.buckets[-1] < self.max_batch:
             raise ValueError("largest bucket must cover max_batch")
         self.frame_shape = tuple(frame_shape)
@@ -175,6 +199,10 @@ class BatchCaptionServer:
             flat = frames_u8.reshape((b * w,) + frames_u8.shape[2:])
             proc = clip_preprocess(flat)
             proc = proc.reshape((b, w) + proc.shape[1:])
+            if self.beam > 0:
+                return decode_lib.student_beam(
+                    self.student, variables, proc, max_len=self.max_len,
+                    k=self.beam)
             return decode_lib.student_greedy(
                 self.student, variables, proc, max_len=self.max_len)
 
@@ -203,13 +231,20 @@ class BatchCaptionServer:
 
     # ------------------------------------------------------------------ API
 
+    def _place(self, frames_np: np.ndarray):
+        """Host batch -> device: dp-sharded over the mesh, or single-device."""
+        import jax.numpy as jnp
+        if self._dp > 1:
+            from .parallel.mesh import shard_batch
+            return shard_batch(frames_np, self.mesh)
+        return jnp.asarray(frames_np)
+
     def warmup(self) -> None:
         """Compile + execute every bucket once so no live request ever eats
         a compile."""
-        import jax.numpy as jnp
         for b in self.buckets:
-            dummy = jnp.zeros((b, self.window) + self.frame_shape, jnp.uint8)
-            np.asarray(self._jit_step(self.variables, dummy))
+            dummy = np.zeros((b, self.window) + self.frame_shape, np.uint8)
+            np.asarray(self._jit_step(self.variables, self._place(dummy)))
 
     def submit(self, window: np.ndarray,
                stream_id: Optional[str] = None) -> CaptionFuture:
@@ -298,7 +333,6 @@ class BatchCaptionServer:
             return batch
 
     def _scheduler_loop(self) -> None:
-        import jax.numpy as jnp
         while True:
             batch = self._take_batch()
             if not batch:
@@ -314,7 +348,7 @@ class BatchCaptionServer:
                 for i, req in enumerate(batch):
                     frames[i] = req.window
                 tokens = np.asarray(
-                    self._jit_step(self.variables, jnp.asarray(frames)))
+                    self._jit_step(self.variables, self._place(frames)))
                 now = time.perf_counter()
                 with self._stats_lock:
                     self.batch_sizes.append(n)
@@ -341,7 +375,7 @@ class BatchCaptionServer:
 
 def simulate_streams(source: str, *, n_streams: int = 8,
                      windows_per_stream: int = 16, max_batch: int = 8,
-                     max_wait_ms: float = 4.0,
+                     max_wait_ms: float = 4.0, beam: int = 0,
                      config=None) -> Dict[str, float]:
     """Replay one clip as N concurrent streams against a fresh server
     (random weights) and report the serving stats — the measurable
@@ -378,7 +412,7 @@ def simulate_streams(source: str, *, n_streams: int = 8,
 
     server = BatchCaptionServer(
         student, variables, BertWordPieceTokenizer(),
-        max_batch=max_batch, max_wait_ms=max_wait_ms,
+        max_batch=max_batch, max_wait_ms=max_wait_ms, beam=beam,
         frame_shape=wins[0].shape[1:])
 
     results: List[Optional[str]] = []
@@ -417,11 +451,13 @@ def main(argv: Optional[List[str]] = None) -> None:
                    help="windows per stream")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=4.0)
+    p.add_argument("--beam", type=int, default=0,
+                   help="0 = greedy; K>0 = batch beam search width K")
     a = p.parse_args(argv)
     stats = simulate_streams(a.source, n_streams=a.streams,
                              windows_per_stream=a.windows,
                              max_batch=a.max_batch,
-                             max_wait_ms=a.max_wait_ms)
+                             max_wait_ms=a.max_wait_ms, beam=a.beam)
     for k, v in sorted(stats.items()):
         print(f"{k:28s} {v:.3f}" if isinstance(v, float) else f"{k} {v}")
 

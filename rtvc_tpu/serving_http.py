@@ -201,6 +201,8 @@ def main(argv: Optional[list] = None) -> None:
                         "if omitted")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=4.0)
+    p.add_argument("--beam", type=int, default=0,
+                   help="0 = greedy; K>0 = batch beam search width K")
     p.add_argument("--frame-size", type=int, default=224,
                    help="expected square frame edge of incoming windows")
     a = p.parse_args(argv)
@@ -219,7 +221,7 @@ def main(argv: Optional[list] = None) -> None:
 
     server = BatchCaptionServer(
         student, variables, BertWordPieceTokenizer(),
-        max_batch=a.max_batch, max_wait_ms=a.max_wait_ms,
+        max_batch=a.max_batch, max_wait_ms=a.max_wait_ms, beam=a.beam,
         frame_shape=(a.frame_size, a.frame_size, 3), window=WINDOW)
     with CaptionHTTPFrontend(server, host=a.host, port=a.port) as fe:
         print(f"serving on http://{a.host}:{fe.port}  "

@@ -519,6 +519,11 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
     from .parallel.mesh import shard_batch
     dp = mesh.shape.get("dp", 1)
 
+    ckpt_saver = None
+    if getattr(config.train, "async_checkpointing", False):
+        from .data.io import AsyncCheckpointSaver
+        ckpt_saver = AsyncCheckpointSaver()
+
     for epoch in range(epochs):
         epoch_losses = []
         # train_loader must be re-iterable (DeviceLoader restarts per epoch).
@@ -638,14 +643,25 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                                    **timer.summary()})
         if config.train.trainer.enable_checkpointing and use_orbax \
                 and is_main:
-            save_checkpoint(os.path.join(run_dir, f"ckpt_{epoch:02d}"), {
+            tree = {
                 "params": state.params,
                 "batch_stats": state.batch_stats,
                 "opt_state": state.opt_state,
                 "step": state.step,
-            })
-            _prune_checkpoints(run_dir, config.callback.save_top_k)
+            }
+            path = os.path.join(run_dir, f"ckpt_{epoch:02d}")
+            prune = functools.partial(_prune_checkpoints, run_dir,
+                                      config.callback.save_top_k)
+            if ckpt_saver is not None:
+                # background fetch+write overlaps the next epoch; jax
+                # arrays are immutable so the snapshot is consistent
+                ckpt_saver.save(path, tree, on_done=prune)
+            else:
+                save_checkpoint(path, tree)
+                prune()
 
+    if ckpt_saver is not None:
+        ckpt_saver.wait()  # flush the last epoch's background write
     final_vars = {"params": state.params, "batch_stats": state.batch_stats}
     if multihost:
         test_bleu = _eval_on_main(student, final_vars, test_loader, tokenizer,

@@ -83,6 +83,62 @@ def test_batched_equals_single_request(served_student):
     assert max(sizes) > 1  # the linger actually coalesced
 
 
+def test_dp_mesh_serving_matches_single_device(served_student):
+    """mesh=: params replicate, batches shard over dp, buckets round up to
+    dp multiples — captions must equal the single-device server's."""
+    from rtvc_tpu.parallel.mesh import make_mesh
+
+    model, variables = served_student
+    mesh = make_mesh((4, 1))  # dp=4 over the 8 virtual CPU devices
+    wins = _windows(5, seed=3)
+
+    with _server(model, variables, max_wait_ms=0.0) as solo:
+        singles = [solo.submit(w).result(timeout=120) for w in wins]
+
+    with _server(model, variables, max_wait_ms=50.0, max_batch=6,
+                 mesh=mesh) as dp_srv:
+        assert dp_srv.max_batch == 8          # 6 rounded up to dp multiple
+        assert dp_srv.buckets == (4, 8)       # every bucket divisible by 4
+        futs = [dp_srv.submit(w) for w in wins]
+        texts = [f.result(timeout=120) for f in futs]
+        sizes = list(dp_srv.batch_sizes)
+    assert texts == singles
+    assert max(sizes) > 1  # coalesced across the sharded program
+
+
+def test_beam_serving_matches_direct_beam(served_student):
+    """beam=K routes the bucket-compiled program through student_beam; a
+    served caption must equal decoding the same window directly, and the
+    greedy/beam switch must actually change the program (not silently
+    greedy)."""
+    from rtvc_tpu import decode as decode_lib
+    from rtvc_tpu.ops.preprocess import clip_preprocess
+
+    model, variables = served_student
+    wins = _windows(3, seed=7)
+
+    @jax.jit
+    def _step(v, frames_u8):  # mirror BatchCaptionServer.step at batch 1
+        flat = frames_u8.reshape((-1,) + frames_u8.shape[2:])
+        proc = clip_preprocess(flat)
+        proc = proc.reshape((1, WINDOW) + proc.shape[1:])
+        return decode_lib.student_beam(model, v, proc, max_len=8, k=2)
+
+    def direct_beam(win):
+        tokens = np.asarray(_step(variables, jnp.asarray(win[None])))[0]
+        row = serving.truncate_at_sep(tokens)
+        return BertWordPieceTokenizer().decode(row, skip_special_tokens=True)
+
+    expected = [direct_beam(w) for w in wins]
+    with _server(model, variables, max_wait_ms=50.0, max_batch=4,
+                 beam=2) as srv:
+        futs = [srv.submit(w) for w in wins]
+        texts = [f.result(timeout=120) for f in futs]
+        sizes = list(srv.batch_sizes)
+    assert texts == expected
+    assert max(sizes) > 1  # exactness held THROUGH a shared batch
+
+
 def test_bucket_padding_is_inert(served_student):
     """3 requests pad to bucket 4; pad rows must not perturb real rows."""
     model, variables = served_student

@@ -256,6 +256,44 @@ def test_checkpoint_resume_roundtrip(tmp_path, setup):
     assert abs(float(m_a["total"]) - float(m_b["total"])) < 1e-5
 
 
+def test_async_checkpoint_saver(tmp_path):
+    """Background saves round-trip exactly, run in order (on_done fires
+    after the write), and errors re-raise on the caller's thread."""
+    from rtvc_tpu.data.io import AsyncCheckpointSaver, restore_checkpoint
+
+    saver = AsyncCheckpointSaver()
+    pruned = []
+    tree1 = {"params": {"w": np.arange(6.0).reshape(2, 3)}, "step": 1}
+    tree2 = {"params": {"w": np.arange(6.0).reshape(2, 3) * 2}, "step": 2}
+    saver.save(str(tmp_path / "ck1"), tree1,
+               on_done=lambda: pruned.append("ck1"))
+    # queuing a second save joins the first — ck1 must be fully written
+    saver.save(str(tmp_path / "ck2"), tree2,
+               on_done=lambda: pruned.append("ck2"))
+    assert pruned == ["ck1"]
+    saver.wait()
+    assert pruned == ["ck1", "ck2"]
+    got1 = restore_checkpoint(str(tmp_path / "ck1"))
+    got2 = restore_checkpoint(str(tmp_path / "ck2"))
+    np.testing.assert_array_equal(got1["params"]["w"],
+                                  tree1["params"]["w"])
+    np.testing.assert_array_equal(got2["params"]["w"],
+                                  tree2["params"]["w"])
+    assert int(got2["step"]) == 2
+
+    # a failing write surfaces on the next wait(), not silently
+    class Boom:  # np.asarray(tree leaf) raises inside the worker
+        def __array__(self):
+            raise RuntimeError("disk full")
+    saver.save(str(tmp_path / "ck3"), {"x": Boom()})
+    with pytest.raises(RuntimeError, match="disk full"):
+        saver.wait()
+    # and the saver is reusable afterwards
+    saver.save(str(tmp_path / "ck4"), {"step": 4})
+    saver.wait()
+    assert int(restore_checkpoint(str(tmp_path / "ck4"))["step"]) == 4
+
+
 def test_train_resume_from(tmp_path):
     """train(resume_from=...) restores the full state and continues."""
     from rtvc_tpu.config import from_dict
