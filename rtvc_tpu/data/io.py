@@ -32,10 +32,30 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(path: str, tree: PyTree, force: bool = True) -> None:
+def save_checkpoint(path: str, tree: PyTree, force: bool = True,
+                    meta: Optional[Dict[str, Any]] = None) -> None:
+    """``meta``: small JSON-able facts about how the weights were produced
+    (e.g. which GELU variant the encoder was trained with). Stored as a
+    sidecar ``<path>.meta.json`` — NOT inside the orbax tree, so restoring
+    with an explicit ``target`` structure keeps working unchanged."""
     path = os.path.abspath(path)
     ckptr = _checkpointer()
     ckptr.save(path, jax.tree.map(np.asarray, tree), force=force)
+    if meta:
+        import json
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+
+
+def checkpoint_meta(path: str) -> Dict[str, Any]:
+    """Sidecar metadata written by ``save_checkpoint(meta=...)``; ``{}``
+    for checkpoints that predate it."""
+    sidecar = os.path.abspath(path) + ".meta.json"
+    if not os.path.exists(sidecar):
+        return {}
+    import json
+    with open(sidecar) as f:
+        return json.load(f)
 
 
 class AsyncCheckpointSaver:
@@ -62,7 +82,8 @@ class AsyncCheckpointSaver:
         self._error: Optional[BaseException] = None
 
     def save(self, path: str, tree: PyTree, force: bool = True,
-             on_done: Optional[Any] = None) -> None:
+             on_done: Optional[Any] = None,
+             meta: Optional[Dict[str, Any]] = None) -> None:
         """Queue one checkpoint write; joins any still-running previous
         write first. ``on_done()`` runs on the worker after a successful
         save (e.g. stale-checkpoint pruning)."""
@@ -70,7 +91,7 @@ class AsyncCheckpointSaver:
 
         def work() -> None:
             try:
-                save_checkpoint(path, tree, force=force)
+                save_checkpoint(path, tree, force=force, meta=meta)
                 if on_done is not None:
                     on_done()
             except BaseException as e:  # re-raised on the caller's thread
@@ -127,8 +148,11 @@ def latest_checkpoint(run_dir: str) -> Optional[str]:
     globbed ``results/run/<name>/*.ckpt``, inference.py:29-32)."""
     if not os.path.isdir(run_dir):
         return None
+    # directories only: a checkpoint's ``.meta.json`` sidecar also starts
+    # with "ckpt" and is written last, so a file match would win on mtime
     cands = [os.path.join(run_dir, d) for d in os.listdir(run_dir)
-             if d.startswith("ckpt")]
+             if d.startswith("ckpt")
+             and os.path.isdir(os.path.join(run_dir, d))]
     if not cands:
         return None
     return max(cands, key=os.path.getmtime)

@@ -168,6 +168,14 @@ class CacheReplayFeed:
     def _put(self, x: np.ndarray):
         import jax
 
+        if jax.process_count() > 1:
+            # multi-controller run: these are HOST-LOCAL rows of the global
+            # batch. device_put with a NamedSharding over the multi-process
+            # mesh would (wrongly) treat them as the full global value —
+            # leave them on host; train.py's shard_host_local_batch
+            # assembles the global array from the per-host shards. The
+            # prefetch still overlaps the disk read with the running step.
+            return x
         if self.mesh is not None and self.mesh.shape.get("dp", 1) > 1 \
                 and x.shape[0] % self.mesh.shape["dp"] == 0:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -182,6 +190,17 @@ class CacheReplayFeed:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         sentinel = object()
         errbox = []
+        stop = threading.Event()  # set when the consumer abandons iteration
+
+        def put_q(item) -> bool:
+            """stop-aware bounded put; False = consumer abandoned us."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -201,20 +220,35 @@ class CacheReplayFeed:
                             out["teacher_topk_idx"] = self._put(idx)
                         else:
                             out["teacher_logits"] = self._put(cached)
-                    q.put(out)
+                    if not put_q(out):
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 errbox.append(e)
             finally:
-                q.put(sentinel)
+                put_q(sentinel)
 
-        threading.Thread(target=producer, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if errbox:
-                    raise errbox[0]
-                return
-            yield item
+        thread = threading.Thread(target=producer, daemon=True,
+                                  name="cache-replay-producer")
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if errbox:
+                        raise errbox[0]
+                    return
+                yield item
+        finally:
+            # Runs on normal exhaustion AND when the consumer abandons the
+            # generator mid-epoch (train-step exception): unblock and reap
+            # the producer so no thread/device-upload leaks per failed epoch.
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=5.0)
 
 
 def densify_topk(values, indices, vocab_size: int):

@@ -19,7 +19,8 @@ import numpy as np
 from . import decode as decode_lib
 from .config import Config, cfg as default_cfg
 from .data.io import latest_checkpoint, load_kd_student_params
-from .models.student import StudentCandidateV1, student_from_config
+from .models.student import (StudentCandidateV1, student_from_config,
+                             student_matching_checkpoint)
 
 
 def inference(config: Config, test_loader: Iterable, tokenizer,
@@ -29,16 +30,19 @@ def inference(config: Config, test_loader: Iterable, tokenizer,
     """``beam_size > 0`` decodes with the student's beam search instead of
     greedy (the reference implemented both, model.py:156-317, but its
     inference entry only exercised greedy)."""
-    student = student or student_from_config(config)
     if variables is None:
         run_dir = os.path.join(config.logger.save_dir, "run", run_name)
         ckpt = latest_checkpoint(run_dir)
         if ckpt is None:
             raise FileNotFoundError(
                 f"no checkpoint under {run_dir} (reference inference.py:30)")
+        # the checkpoint's recorded activation variant wins over the config
+        # default — erf-trained weights must not run under tanh GELU
+        student = student or student_matching_checkpoint(config, ckpt)
         tree = load_kd_student_params(ckpt)
         variables = {"params": tree["params"],
                      "batch_stats": tree.get("batch_stats", {})}
+    student = student or student_from_config(config)
 
     preds: List[str] = []
     for batch in test_loader:

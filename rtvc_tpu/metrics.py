@@ -477,7 +477,10 @@ def load_wordnet_synonyms(path: str) -> _SynonymTable:
                         continue
                     parts = line.split()
                     lemma, synset_cnt = parts[0].lower(), int(parts[2])
-                    if "_" in lemma:
+                    # a malformed/zero-count row must be rejected:
+                    # parts[-0:] would be the WHOLE line, polluting the
+                    # table with header fields as synset offsets
+                    if "_" in lemma or synset_cnt <= 0:
                         continue
                     offs = parts[-synset_cnt:]
                     bucket = table.setdefault(lemma, {lemma})

@@ -345,6 +345,23 @@ class StudentCandidateV1(nn.Module):
         return self.vocab_proj(x)[:, 0], new_caches
 
 
+def student_matching_checkpoint(cfg, ckpt_path: str) -> StudentCandidateV1:
+    """``student_from_config``, but the activation variant RECORDED at save
+    time (the checkpoint's sidecar meta, data/io.py) overrides the config:
+    weights trained with exact-erf GELU must not be silently run under the
+    tanh training default (≈1.5e-2 rel activation shift, docs/PERF.md §1b).
+    Checkpoints without a sidecar behave as before (config wins)."""
+    import dataclasses
+
+    from ..data.io import checkpoint_meta
+
+    g = checkpoint_meta(ckpt_path).get("gelu_approximate")
+    if g is not None and bool(g) != cfg.student.gelu_approximate:
+        cfg = dataclasses.replace(cfg, student=dataclasses.replace(
+            cfg.student, gelu_approximate=bool(g)))
+    return student_from_config(cfg)
+
+
 def student_from_config(cfg) -> StudentCandidateV1:
     """Build the student from a ``Config`` (rtvc_tpu.config.Config)."""
     enc = tiny_vit_21m_config(

@@ -118,7 +118,8 @@ def apply_masks(params: PyTree, masks: PyTree) -> PyTree:
 def main(argv=None) -> None:
     """Sweep pruning ratios over a trained checkpoint (reference
     pruning.py:58-95: ratios 0.1-0.5 saved as separate checkpoints)."""
-    from .data.io import load_kd_student_params, save_checkpoint
+    from .data.io import (checkpoint_meta, load_kd_student_params,
+                          save_checkpoint)
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--ckpt", required=True)
@@ -128,13 +129,14 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     tree = load_kd_student_params(args.ckpt)
+    meta = checkpoint_meta(args.ckpt)  # carry activation record forward
     for ratio in args.ratios:
         pruned, _ = global_prune_params(tree["params"], ratio)
         report = sparsity_report(pruned)
         out = dict(tree)
         out["params"] = pruned
         path = os.path.join(args.out_dir, f"pruned_{round(ratio, 1)}")
-        save_checkpoint(path, out)
+        save_checkpoint(path, out, meta=meta or None)
         print(f"ratio {ratio:.1f}: sparsity {report['sparsity']:.3f} → {path}")
     print("Done")
 

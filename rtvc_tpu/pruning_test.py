@@ -13,7 +13,8 @@ from typing import Iterable, Optional
 
 from .config import Config, cfg as default_cfg
 from .data.io import load_pruned_params
-from .models.student import StudentCandidateV1, student_from_config
+from .models.student import (StudentCandidateV1, student_from_config,  # noqa: F401
+                             student_matching_checkpoint)
 from .pruning import sparsity_report
 from .train import evaluate
 from .utils.logging import RunLogger
@@ -22,7 +23,9 @@ from .utils.logging import RunLogger
 def test(config: Config, test_loader: Iterable, tokenizer, ckpt_path: str,
          student: Optional[StudentCandidateV1] = None, run_name: str = "pruned",
          annotations=None) -> float:
-    student = student or student_from_config(config)
+    # the checkpoint's recorded activation variant wins over the config
+    # default (sidecar meta survives the pruning sweep)
+    student = student or student_matching_checkpoint(config, ckpt_path)
     tree = load_pruned_params(ckpt_path)
     variables = {"params": tree["params"],
                  "batch_stats": tree.get("batch_stats", {})}

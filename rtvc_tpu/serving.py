@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import threading
 import time
-from collections import OrderedDict
+from collections import OrderedDict, deque
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -50,6 +50,7 @@ from . import decode as decode_lib
 from .models.student import StudentCandidateV1
 
 SEP_TOKEN_ID = 102  # BERT [SEP] (reference model.py:184 stop token)
+STATS_WINDOW = 4096  # recent samples kept for latency/batch percentiles
 
 
 class CaptionFuture:
@@ -57,6 +58,7 @@ class CaptionFuture:
 
     def __init__(self) -> None:
         self._event = threading.Event()
+        self._resolve_lock = threading.Lock()
         self._text: Optional[str] = None
         self._tokens: Optional[np.ndarray] = None
         self._error: Optional[BaseException] = None
@@ -67,12 +69,19 @@ class CaptionFuture:
     def _resolve(self, text: Optional[str], tokens: Optional[np.ndarray],
                  *, superseded: bool = False,
                  error: Optional[BaseException] = None) -> None:
-        self._text = text
-        self._tokens = tokens
-        self.superseded = superseded
-        self._error = error
-        self.done_time = time.perf_counter()
-        self._event.set()
+        # First resolution wins; later attempts are no-ops. This makes the
+        # close()-vs-live-scheduler race benign: if close() errors a future
+        # out after its join timed out, a still-running scheduler pass can
+        # no longer mutate the result a client already observed.
+        with self._resolve_lock:
+            if self._event.is_set():
+                return
+            self._text = text
+            self._tokens = tokens
+            self.superseded = superseded
+            self._error = error
+            self.done_time = time.perf_counter()
+            self._event.set()
 
     def done(self) -> bool:
         return self._event.is_set()
@@ -215,8 +224,12 @@ class BatchCaptionServer:
         self._anon_counter = 0
         self._closed = False
         self._stats_lock = threading.Lock()
-        self.batch_sizes: List[int] = []
-        self.latencies_s: List[float] = []
+        # bounded windows (a long-lived server must not grow per-request
+        # state without bound); totals are kept as scalar counters
+        self.batch_sizes: "deque[int]" = deque(maxlen=STATS_WINDOW)
+        self.latencies_s: "deque[float]" = deque(maxlen=STATS_WINDOW)
+        self._n_batches = 0
+        self._batch_rows_total = 0
         self._served = 0
         self._superseded = 0
         self._t_first: Optional[float] = None
@@ -273,13 +286,13 @@ class BatchCaptionServer:
 
     def stats(self) -> Dict[str, float]:
         with self._stats_lock:
-            lat = sorted(self.latencies_s)
+            lat = sorted(self.latencies_s)  # recent STATS_WINDOW samples
             out: Dict[str, float] = {
                 "served": float(self._served),
                 "superseded": float(self._superseded),
-                "batches": float(len(self.batch_sizes)),
-                "mean_batch": (sum(self.batch_sizes) /
-                               max(len(self.batch_sizes), 1)),
+                "batches": float(self._n_batches),
+                "mean_batch": (self._batch_rows_total /
+                               max(self._n_batches, 1)),
             }
             if lat:
                 out["latency_p50_ms"] = lat[len(lat) // 2] * 1e3
@@ -352,6 +365,8 @@ class BatchCaptionServer:
                 now = time.perf_counter()
                 with self._stats_lock:
                     self.batch_sizes.append(n)
+                    self._n_batches += 1
+                    self._batch_rows_total += n
                     if self._t_first is None:
                         self._t_first = now
                     self._t_last = now

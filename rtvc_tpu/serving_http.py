@@ -86,6 +86,12 @@ class CaptionHTTPFrontend:
                 except _BadRequest as e:
                     self._send_json(400, {"error": str(e)})
                     return
+                except Exception as e:
+                    # any other malformed-input failure (bad headers,
+                    # reshape errors, ...) must still answer 400, never
+                    # kill the handler thread with no HTTP response
+                    self._send_json(400, {"error": f"bad request: {e}"})
+                    return
                 try:
                     fut = frontend.server.submit(window, stream_id=stream_id)
                 except RuntimeError as e:  # server closed
@@ -113,7 +119,10 @@ class CaptionHTTPFrontend:
 
             def _parse_caption_body(
                     self) -> Tuple[np.ndarray, Optional[str], float]:
-                length = int(self.headers.get("Content-Length") or 0)
+                try:
+                    length = int(self.headers.get("Content-Length") or 0)
+                except ValueError:
+                    raise _BadRequest("bad Content-Length")
                 if length <= 0:
                     raise _BadRequest("empty body")
                 if length > MAX_BODY_BYTES:
@@ -126,10 +135,10 @@ class CaptionHTTPFrontend:
                         payload = json.loads(raw)
                         shape = tuple(int(s) for s in payload["shape"])
                         buf = base64.b64decode(payload["frames_b64"])
+                        timeout_s = float(payload.get("timeout_s", timeout_s))
                     except (KeyError, ValueError, TypeError) as e:
                         raise _BadRequest(f"bad JSON caption request: {e}")
                     stream_id = payload.get("stream_id")
-                    timeout_s = float(payload.get("timeout_s", timeout_s))
                 else:
                     hdr = self.headers.get("X-Frames-Shape")
                     if not hdr:
@@ -141,6 +150,8 @@ class CaptionHTTPFrontend:
                         raise _BadRequest(f"bad X-Frames-Shape {hdr!r}")
                     buf = raw
                     stream_id = self.headers.get("X-Stream-Id")
+                if any(s <= 0 for s in shape):
+                    raise _BadRequest(f"non-positive dim in shape {shape}")
                 expected = int(np.prod(shape))
                 if len(buf) != expected:
                     raise _BadRequest(
@@ -207,14 +218,22 @@ def main(argv: Optional[list] = None) -> None:
                    help="expected square frame edge of incoming windows")
     a = p.parse_args(argv)
 
-    student = student_from_config(cfg)
+    if a.ckpt:
+        # rebuild the student with the activation the weights were trained
+        # under (checkpoint sidecar meta), mirroring inference.py
+        from .models.student import student_matching_checkpoint
+        student = student_matching_checkpoint(cfg, a.ckpt)
+    else:
+        student = student_from_config(cfg)
     dummy_f = jnp.zeros((1, WINDOW, 224, 224, 3))
     dummy_y = jnp.array([[student.cls_token_id, 5]], jnp.int32)
     variables = jax.jit(student.init)(jax.random.PRNGKey(cfg.seed),
                                       dummy_f, dummy_y)
     if a.ckpt:
-        from .data.io import load_checkpoint
-        restored = load_checkpoint(a.ckpt)
+        # load_kd_student_params strips the distillation-only heads — the
+        # same inference-loading path inference.py uses
+        from .data.io import load_kd_student_params
+        restored = load_kd_student_params(a.ckpt)
         variables = {**variables, "params": restored["params"]}
         if restored.get("batch_stats"):
             variables["batch_stats"] = restored["batch_stats"]

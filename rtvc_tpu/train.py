@@ -107,9 +107,14 @@ def _prune_checkpoints(run_dir: str, keep: int) -> None:
     """Keep only the newest ``keep`` checkpoints (reference ModelCheckpoint
     save_top_k=1 monitoring 'epoch' == keep-latest, config.py:47-54)."""
     import shutil
-    ckpts = sorted(d for d in os.listdir(run_dir) if d.startswith("ckpt_"))
+    ckpts = sorted(d for d in os.listdir(run_dir) if d.startswith("ckpt_")
+                   and os.path.isdir(os.path.join(run_dir, d)))
     for stale in ckpts[:-keep] if keep > 0 else []:
         shutil.rmtree(os.path.join(run_dir, stale), ignore_errors=True)
+        try:  # the checkpoint's sidecar metadata goes with it
+            os.remove(os.path.join(run_dir, stale + ".meta.json"))
+        except OSError:
+            pass
 
 
 def plot_loss(values, label: str, out_path: str) -> None:
@@ -468,6 +473,14 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                            opt_state=tree["opt_state"], step=tree["step"])
         logger.write(f"\nresumed from {resume_from} at step "
                      f"{int(state.step)}\n")
+        from .data.io import checkpoint_meta
+        _g = checkpoint_meta(resume_from).get("gelu_approximate")
+        if _g is not None and bool(_g) != config.student.gelu_approximate:
+            logger.write(
+                f"WARNING: checkpoint was trained with gelu_approximate="
+                f"{bool(_g)} but this run uses "
+                f"{config.student.gelu_approximate} — set "
+                f"cfg.student.gelu_approximate to match\n")
     # Mesh placement ONLY for real multi-device meshes. On a trivial
     # 1-device mesh, NamedSharding-wrapping the param trees is not a no-op
     # on the tunneled TPU runtime: an executable whose inputs MIX
@@ -652,12 +665,23 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
             path = os.path.join(run_dir, f"ckpt_{epoch:02d}")
             prune = functools.partial(_prune_checkpoints, run_dir,
                                       config.callback.save_top_k)
+            # recorded so loaders can rebuild the student with the SAME
+            # activation these weights were trained under (student.py::
+            # student_matching_checkpoint)
+            meta = {"gelu_approximate":
+                    bool(config.student.gelu_approximate)}
             if ckpt_saver is not None:
-                # background fetch+write overlaps the next epoch; jax
-                # arrays are immutable so the snapshot is consistent
-                ckpt_saver.save(path, tree, on_done=prune)
+                if getattr(config.tpu, "donate_train_state", False):
+                    # donation invalidates these buffers at the next
+                    # epoch's first step — snapshot to host SYNCHRONOUSLY
+                    # and only background the disk write
+                    tree = jax.device_get(tree)
+                # background fetch+write overlaps the next epoch; without
+                # donation jax arrays are immutable so the snapshot is
+                # consistent
+                ckpt_saver.save(path, tree, on_done=prune, meta=meta)
             else:
-                save_checkpoint(path, tree)
+                save_checkpoint(path, tree, meta=meta)
                 prune()
 
     if ckpt_saver is not None:

@@ -116,7 +116,8 @@ def main():
 
     # ---- 5. record the artifact -----------------------------------------
     os.makedirs("results", exist_ok=True)
-    with open("results/SMOKE_E2E.md", "w") as f:
+    out_md = "results/SMOKE_E2E" + (f"_topk{top_k}" if top_k else "") + ".md"
+    with open(out_md, "w") as f:
         f.write("# Synthetic end-to-end chain (full-size models)\n\n")
         f.write("Chain: train(4 epochs, teacher-cache) -> resume(+1) -> "
                 "inference -> pruning sweep 0.1/0.3/0.5 -> pruning_test.\n\n")

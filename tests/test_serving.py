@@ -150,7 +150,7 @@ def test_bucket_padding_is_inert(served_student):
     with _server(model, variables, max_wait_ms=500.0, max_batch=4) as srv:
         futs = [srv.submit(w) for w in wins]
         texts = [f.result(timeout=60) for f in futs]
-        assert srv.batch_sizes == [3]
+        assert list(srv.batch_sizes) == [3]
 
     assert texts == singles
 

@@ -139,12 +139,35 @@ def test_supersession_maps_to_409(frontend):
      "missing shape header"),
     (json.dumps({"shape": [3, 64, 64, 3]}).encode(),
      {"Content-Type": "application/json"}, "missing frames_b64"),
+    # negative dims whose product still matches the byte count: without a
+    # positivity check this reaches reshape and the error would escape as
+    # a connection reset instead of a 400
+    (b"\x00" * (3 * 64 * 64 * 3),
+     {"Content-Type": "application/octet-stream",
+      "X-Frames-Shape": "3,64,-64,-3"}, "negative dims"),
+    (json.dumps({"shape": [3, 64, 64, 3], "timeout_s": {"oops": 1},
+                 "frames_b64": base64.b64encode(
+                     b"\x00" * (3 * 64 * 64 * 3)).decode()}).encode(),
+     {"Content-Type": "application/json"}, "non-numeric timeout_s"),
 ])
 def test_bad_requests_return_400(frontend, body, headers, why):
     fe, _ = frontend
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(fe, "/v1/caption", body, headers)
     assert ei.value.code == 400, why
+
+
+def test_bad_content_length_returns_400(frontend):
+    """A non-numeric Content-Length must produce an HTTP 400, not an
+    unhandled ValueError that resets the connection (urllib always sends a
+    correct header, so drive a raw socket)."""
+    import socket
+    fe, _ = frontend
+    with socket.create_connection(("127.0.0.1", fe.port), timeout=30) as s:
+        s.sendall(b"POST /v1/caption HTTP/1.1\r\nHost: t\r\n"
+                  b"Content-Length: abc\r\n\r\n")
+        status_line = s.recv(4096).split(b"\r\n", 1)[0]
+    assert b" 400 " in status_line + b" "
 
 
 def test_wrong_window_shape_returns_400(frontend):

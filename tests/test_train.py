@@ -294,6 +294,71 @@ def test_async_checkpoint_saver(tmp_path):
     assert int(restore_checkpoint(str(tmp_path / "ck4"))["step"]) == 4
 
 
+def test_checkpoint_meta_sidecar_and_gelu_override(tmp_path):
+    """save_checkpoint(meta=...) writes a sidecar that survives restore,
+    pruning carries it forward, and student_matching_checkpoint rebuilds
+    the student with the RECORDED activation instead of the config default
+    (erf-trained weights must never silently run under tanh GELU)."""
+    from rtvc_tpu.config import cfg
+    from rtvc_tpu.data.io import (checkpoint_meta, restore_checkpoint,
+                                  save_checkpoint)
+    from rtvc_tpu.models.student import student_matching_checkpoint
+
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, {"params": {"w": np.ones(3)}},
+                    meta={"gelu_approximate": False})
+    assert checkpoint_meta(path) == {"gelu_approximate": False}
+    # the orbax tree itself is unchanged (restore-with-target keeps working)
+    assert set(restore_checkpoint(path).keys()) == {"params"}
+
+    assert cfg.student.gelu_approximate is True  # training default
+    student = student_matching_checkpoint(cfg, path)
+    assert student.encoder_config.gelu_approximate is False  # meta wins
+    # no sidecar -> config wins (pre-meta checkpoints behave as before)
+    save_checkpoint(str(tmp_path / "old"), {"params": {"w": np.ones(3)}})
+    student = student_matching_checkpoint(cfg, str(tmp_path / "old"))
+    assert student.encoder_config.gelu_approximate is True
+
+    # the pruning sweep copies the sidecar to its output checkpoints
+    from rtvc_tpu import pruning
+    pruning.main(["--ckpt", path, "--out_dir", str(tmp_path / "pr"),
+                  "--ratios", "0.5"])
+    assert checkpoint_meta(
+        str(tmp_path / "pr" / "pruned_0.5")) == {"gelu_approximate": False}
+
+
+def test_cache_replay_feed_reaps_producer_on_abandonment(tmp_path):
+    """Abandoning the feed mid-epoch (train-step exception) must not leave
+    the producer thread blocked on a full queue forever."""
+    import threading
+    import time as _time
+
+    from rtvc_tpu.data.teacher_cache import CacheReplayFeed, \
+        TeacherLogitsCache
+
+    cache = TeacherLogitsCache(str(tmp_path / "tc"))
+    batches = [{"vid-id": [f"v{i}"], "caption-id": [i],
+                "frames": np.zeros((1, 2, 8, 8, 3), np.float32),
+                "caption": np.zeros((1, 4), np.int32)} for i in range(16)]
+    feed = CacheReplayFeed(batches, cache, depth=2)
+    it = iter(feed)
+    assert "_cache_keys" in next(it)
+    it.close()  # generator abandoned -> finally must reap the producer
+    deadline = _time.time() + 10.0
+    while _time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t.name == "cache-replay-producer" and t.is_alive()]
+        if not leaked:
+            break
+        _time.sleep(0.05)
+    assert not leaked, f"producer thread leaked: {leaked}"
+
+    # and normal exhaustion still yields every batch exactly once
+    seen = [b["_cache_keys"][0] for b in CacheReplayFeed(batches, cache,
+                                                         depth=2)]
+    assert len(seen) == 16 and len(set(seen)) == 16
+
+
 def test_train_resume_from(tmp_path):
     """train(resume_from=...) restores the full state and continues."""
     from rtvc_tpu.config import from_dict
