@@ -135,9 +135,20 @@ def student_beam(model, variables, frames: jnp.ndarray, max_len: int = 10,
         logits, new_caches = model.apply(
             variables, last, step - 1, caches, None,
             method=lambda mdl, t_, i_, c_, m_: mdl.decode_step(t_, i_, c_, m_))
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        logp = logp.reshape(b, k, -1)
-        top_scores, top_words = jax.lax.top_k(logp, k)   # [B, k, k]
+        # top-k on the RAW logits in 2-D layout, then normalize only the k
+        # winners: log_softmax is a per-row monotone shift (x - logsumexp),
+        # so the selected indices, tie order and scores are identical. The
+        # original form ran lax.top_k on the 3-D [B, k, V] log-probs — XLA
+        # lowers >=2-D-batched top_k through a path ~400x slower than the
+        # 2-D one at this shape, and that ONE op was ~97% of the beam decode
+        # loop's device time (44.6 -> 1.1 ms for the 23-step loop; the
+        # lsm_2d attribution arm in scripts/ab_beam_variants.py isolates the
+        # 3-D top_k as the cost, not the log-softmax).
+        raw = logits.astype(jnp.float32)                 # [B*k, V]
+        top_raw, top_words = jax.lax.top_k(raw, k)       # [B*k, k]
+        lse = jax.nn.logsumexp(raw, axis=-1, keepdims=True)
+        top_scores = (top_raw - lse).reshape(b, k, k)
+        top_words = top_words.reshape(b, k, k)
         cand_scores = (scores[:, :, None] + top_scores).reshape(b, k * k)
         cand_words = top_words.reshape(b, k * k)
         cand_beams = jnp.repeat(jnp.arange(k), k)[None, :]  # beam-major layout
@@ -294,11 +305,29 @@ def teacher_beam(model, variables, frames: jnp.ndarray, *,
             beam_id = jnp.repeat(jnp.arange(nb), pnbs)[None, :]
             beam_id = jnp.broadcast_to(beam_id, (b, nb * pnbs))
         else:
-            logp = jax.nn.log_softmax(scores_tok, axis=-1)
-            cand = (logp + beam_scores[:, None]).reshape(b, nb * vocab)
-            next_scores, next_words = jax.lax.top_k(cand, pnbs * nb)
-            word_id = next_words % vocab
-            beam_id = next_words // vocab
+            # Hierarchical exact top-k: the global top-m over the [nb * V]
+            # candidate row can take at most m candidates from any one beam,
+            # so per-beam top-m followed by a pooled top-m selects the same
+            # set. log_softmax is a per-row monotone shift, so top-k runs on
+            # the raw (penalized) logits and only the m winners are
+            # normalized (+ beam score). Tie order is preserved: per-beam
+            # top_k keeps lowest-word-index first, and the pooled index
+            # (beam * m + rank) sorts ties beam-major exactly like the
+            # original flat beam * V + word index (pinned by
+            # tests/test_decode.py::test_hierarchical_topk_matches_flat_
+            # selection). Avoids materializing the [B*nb, V] f32
+            # log-softmax and sorting [B, nb*V] in-loop: full-size beam
+            # 99.4 -> 80.0 ms device (1.24x, scripts/profile_teacher_beam
+            # .py; docs/PERF.md 5b).
+            m = pnbs * nb
+            top_raw, top_word = jax.lax.top_k(scores_tok, m)   # [B*nb, m]
+            lse = jax.nn.logsumexp(scores_tok, axis=-1, keepdims=True)
+            top_logp = top_raw - lse + beam_scores[:, None]    # [B*nb, m]
+            pooled = top_logp.reshape(b, nb * m)
+            pooled_words = top_word.reshape(b, nb * m)
+            next_scores, pick = jax.lax.top_k(pooled, m)       # [B, m]
+            word_id = jnp.take_along_axis(pooled_words, pick, axis=1)
+            beam_id = pick // m
         is_eos = word_id == eos
 
         # done check BEFORE consuming this step's candidates (model.py:578-581)

@@ -233,3 +233,45 @@ def test_teacher_decode_step_matches_full_forward():
         step_logits.append(np.asarray(logits))
     np.testing.assert_allclose(np.stack(step_logits, 1), np.asarray(full),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_hierarchical_topk_matches_flat_selection():
+    """The in-loop candidate selection both beam searches now use — per-row
+    top-k on RAW logits + logsumexp on the winners, pooled hierarchically —
+    must select the same (score, word, beam) triples, in the same order
+    INCLUDING ties, as the flat ``top_k(log_softmax + score, nb*V)`` it
+    replaced (scripts/ab_beam_variants.py measured the flat form at ~98% of
+    beam-loop device time). Integer-valued logits force heavy ties."""
+    rng = np.random.default_rng(3)
+    b, nb, pnbs, vocab = 3, 4, 2, 50
+    m = pnbs * nb
+    for probe in (rng.normal(size=(b * nb, vocab)),
+                  rng.integers(0, 3, size=(b * nb, vocab)).astype(np.float64)):
+        scores_tok = jnp.asarray(probe, jnp.float32)
+        beam_scores = jnp.asarray(
+            rng.normal(size=(b * nb,)).round(1), jnp.float32)
+
+        # flat reference (the pre-optimization formulation)
+        logp = jax.nn.log_softmax(scores_tok, axis=-1)
+        cand = (logp + beam_scores[:, None]).reshape(b, nb * vocab)
+        ref_scores, ref_words = jax.lax.top_k(cand, m)
+        ref_word = ref_words % vocab
+        ref_beam = ref_words // vocab
+
+        # hierarchical (decode.teacher_beam's in-loop form)
+        top_raw, top_word = jax.lax.top_k(scores_tok, m)
+        lse = jax.nn.logsumexp(scores_tok, axis=-1, keepdims=True)
+        top_logp = top_raw - lse + beam_scores[:, None]
+        pooled = top_logp.reshape(b, nb * m)
+        pooled_words = top_word.reshape(b, nb * m)
+        new_scores, pick = jax.lax.top_k(pooled, m)
+        new_word = jnp.take_along_axis(pooled_words, pick, axis=1)
+        new_beam = pick // m
+
+        np.testing.assert_array_equal(np.asarray(new_word),
+                                      np.asarray(ref_word))
+        np.testing.assert_array_equal(np.asarray(new_beam),
+                                      np.asarray(ref_beam))
+        np.testing.assert_allclose(np.asarray(new_scores),
+                                   np.asarray(ref_scores),
+                                   rtol=1e-6, atol=1e-6)
