@@ -154,6 +154,16 @@ class TpuConfig:
     # (non-tunneled) runtimes if the state's 2x footprint matters.
     donate_train_state: bool = False
     remat_encoder: bool = False
+    # Host-loop -> device-loop: group K prepared batches into ONE dispatch
+    # that lax.scan's the train step K times on device. Identical numerics
+    # either way (pinned by tests/test_train.py). Measured verdict on the
+    # v5e runtime of record: KEEP OFF — the async single-dispatch loop has
+    # no dispatch gap to remove, and the scanned program runs ~40% slower
+    # per step than back-to-back singles (45-48 vs 63-65 ms wall at K=4/8;
+    # docs/PERF.md §3). The knob exists for runtimes where per-dispatch
+    # latency is real. Groups only full prefetched batches on a
+    # single-device mesh; ragged tails and cache-miss batches run singly.
+    steps_per_dispatch: int = 1
     # W8A8 frozen-teacher inference. Measured end-to-end verdict on the
     # v5e/XLA build of record: the full int8 distillation step is 1.06x
     # SLOWER than float (179.6 vs 169.8 ms median, docs/PERF.md §3) — the

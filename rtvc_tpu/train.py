@@ -153,8 +153,16 @@ def make_train_step(student: StudentCandidateV1, teacher: GITTeacher,
                     donate: bool = True, kd_beam_size: int = 4,
                     kd_max_steps: int = 15, kd_length_penalty: float = 0.6,
                     external_teacher_logits: bool = False,
-                    cache_top_k: int = 0):
+                    cache_top_k: int = 0,
+                    steps_per_dispatch: int = 1):
     """Build the jitted distillation train step.
+
+    ``steps_per_dispatch > 1`` returns the multi-step variant instead: it
+    takes batches whose leaves are stacked on a leading [K] axis and runs
+    the step K times in ONE device program (``lax.scan`` over the stack),
+    returning (final_state, metrics-with-[K]-leaves). Numerically
+    identical to K single dispatches (same ops, same rng folding; pinned
+    by tests/test_train.py::test_multi_step_dispatch_matches_singles).
 
     The teacher is frozen (reference model.py:741-745): its variables are a
     closed-over constant input, no gradients flow into it.
@@ -276,6 +284,20 @@ def make_train_step(student: StudentCandidateV1, teacher: GITTeacher,
         metrics = {k: v for k, v in losses.items()}
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
+
+    if steps_per_dispatch > 1:
+        # host-loop -> device-loop: ONE dispatch scans the step over K
+        # batches stacked on a new leading axis; removes the per-step
+        # dispatch gap (~9.6 ms/step over the tunnel, docs/PERF.md §3).
+        # Metrics come back with [K]-leading leaves, one entry per step.
+        # The dropout rng still varies per scanned step: step_fn folds the
+        # base rng with state.step, which increments inside the scan.
+        def multi_fn(state: TrainState, teacher_vars, batches, rng):
+            def body(st, b):
+                return step_fn(st, teacher_vars, b, rng)
+            return jax.lax.scan(body, state, batches)
+
+        return jax.jit(multi_fn, donate_argnums=(0,) if donate else ())
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
@@ -532,6 +554,21 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
     from .parallel.mesh import shard_batch
     dp = mesh.shape.get("dp", 1)
 
+    # host-loop -> device-loop (cfg.tpu.steps_per_dispatch): one dispatch
+    # scans the step over K stacked batches, removing the per-step dispatch
+    # gap (docs/PERF.md §3). Single-device meshes only — stacking dp/
+    # multihost-sharded batches on a new axis would change their placement.
+    spd = max(1, int(getattr(config.tpu, "steps_per_dispatch", 1)))
+    multi_step = None
+    if spd > 1 and dp == 1 and not multihost:
+        multi_step = make_train_step(
+            student, teacher, tx, loss_weights,
+            donate=config.tpu.donate_train_state,
+            external_teacher_logits=teacher_cache is not None,
+            cache_top_k=teacher_cache.top_k if teacher_cache is not None
+            else 0,
+            steps_per_dispatch=spd)
+
     ckpt_saver = None
     if getattr(config.train, "async_checkpointing", False):
         from .data.io import AsyncCheckpointSaver
@@ -547,6 +584,8 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
         n_steps = 0
         first_dispatch_s = 0.0
         dispatch_ms: List[float] = []
+        group: List[Dict[str, Any]] = []   # pending batches for multi_step
+        group_b: Optional[int] = None
         # Cached-teacher epochs iterate through CacheReplayFeed: a producer
         # thread reads the NEXT batch's cache entries and starts their
         # host→device upload while the current step computes, so the hit
@@ -601,6 +640,35 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                                  f"for dp={dp} (use drop_last to avoid)\n")
                     arrays = {k: v[:usable] for k, v in arrays.items()}
                 arrays = shard_batch(arrays, mesh)  # dp-axis placement
+            if multi_step is not None:
+                b = int(arrays["caption"].shape[0])
+                if group_b is None:
+                    group_b = b
+                if b == group_b:
+                    group.append(arrays)
+                    if len(group) == spd:
+                        stacked = {k: jnp.stack([g[k] for g in group])
+                                   for k in group[0]}
+                        group = []
+                        t_dispatch = time.perf_counter()
+                        state, m = multi_step(state, teacher_vars, stacked,
+                                              step_rng)
+                        dispatch_s = time.perf_counter() - t_dispatch
+                        if n_steps == 0:
+                            first_dispatch_s = dispatch_s
+                        dispatch_ms.append(dispatch_s * 1e3)
+                        for i in range(spd):
+                            epoch_losses.append(m["total"][i])
+                        n_steps += spd
+                    continue
+                # ragged batch (b != group_b): drain pending singles in
+                # arrival order, then fall through to a single dispatch
+                for pending in group:
+                    state, m = train_step(state, teacher_vars, pending,
+                                          step_rng)
+                    epoch_losses.append(m["total"])
+                    n_steps += 1
+                group = []
             t_dispatch = time.perf_counter()
             state, m = train_step(state, teacher_vars, arrays, step_rng)
             dispatch_s = time.perf_counter() - t_dispatch
@@ -610,6 +678,13 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                 # artifacts can report steady-state step time separately
                 first_dispatch_s = dispatch_s
             dispatch_ms.append(dispatch_s * 1e3)
+            epoch_losses.append(m["total"])
+            n_steps += 1
+        # epoch tail: fewer than steps_per_dispatch batches pending
+        for pending in group:
+            t_dispatch = time.perf_counter()
+            state, m = train_step(state, teacher_vars, pending, step_rng)
+            dispatch_ms.append((time.perf_counter() - t_dispatch) * 1e3)
             epoch_losses.append(m["total"])
             n_steps += 1
         t_fetch = time.perf_counter()

@@ -94,13 +94,30 @@ def main():
     print(f"  dispatch_ms={cache_hist['epoch_dispatch_ms']} "
           f"fetch_s={cache_hist['epoch_fetch_s']}", flush=True)
 
+    # arm 3: replay with host-loop -> device-loop grouping (the cache is
+    # fully warm now, so every epoch is pure replay)
+    spd = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    config_spd = from_dict({"tpu": {"steps_per_dispatch": spd}}, base=config)
+    t0 = time.perf_counter()
+    _, spd_hist = train(config_spd, loader, [], [], tok,
+                        run_name="cached_spd", student=student,
+                        teacher=teacher, max_epochs=2, use_orbax=False,
+                        teacher_cache=cache)
+    print(f"spd={spd} arm total {time.perf_counter() - t0:.1f}s "
+          f"epoch_step_ms={spd_hist['epoch_step_ms']}", flush=True)
+    print(f"  dispatch_ms={spd_hist['epoch_dispatch_ms']} "
+          f"fetch_s={spd_hist['epoch_fetch_s']}", flush=True)
+
     live = live_hist["epoch_step_ms"][1]   # steady state (epoch 2)
     miss = cache_hist["epoch_step_ms"][0]  # includes compile
     replay = min(cache_hist["epoch_step_ms"][1:])
+    replay_spd = min(spd_hist["epoch_step_ms"][1:])
     print(f"\nlive-teacher step:   {live:8.1f} ms wall")
     print(f"miss epoch step:     {miss:8.1f} ms wall (live + store)")
     print(f"replay epoch step:   {replay:8.1f} ms wall  "
           f"({live / replay:.2f}x vs live)")
+    print(f"replay, spd={spd}:   {replay_spd:8.1f} ms wall  "
+          f"({replay / replay_spd:.2f}x vs single-dispatch replay)")
     shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -703,3 +703,88 @@ def test_set_learning_rate_preserves_aval():
     assert new.aval == leaf.aval, (new.aval, leaf.aval)
     assert new.sharding == leaf.sharding
     assert float(new) == pytest.approx(5e-4)
+
+
+def test_multi_step_dispatch_matches_singles(setup):
+    """steps_per_dispatch: the lax.scan multi-step program must reproduce
+    K single dispatches exactly — same per-step losses, same final params
+    (the dropout rng folds with state.step, which increments inside the
+    scan, so even the stochastic path lines up)."""
+    student, teacher, batch, tx, state, tvars = setup
+    rng = jax.random.PRNGKey(11)
+    b2 = synth_batch(seed=5)
+    step1 = make_train_step(student, teacher, tx, donate=False)
+    stepK = make_train_step(student, teacher, tx, donate=False,
+                            steps_per_dispatch=2)
+
+    s_ref = state
+    ref_losses = []
+    for bt in (batch, b2):
+        s_ref, m = step1(s_ref, tvars, bt, rng)
+        ref_losses.append(float(m["total"]))
+
+    stacked = {k: jnp.stack([batch[k], b2[k]]) for k in batch}
+    s_multi, mk = stepK(state, tvars, stacked, rng)
+
+    got = [float(x) for x in np.asarray(mk["total"])]
+    np.testing.assert_allclose(got, ref_losses, rtol=1e-6, atol=1e-7)
+    assert int(s_multi.step) == int(s_ref.step)
+
+    # Param equality is pinned under SGD: update = lr*grad keeps the
+    # scan-vs-sequential comparison at ulp scale, whereas Adam's
+    # m/(sqrt(v)+eps) amplifies last-ulp gradient noise on near-zero-grad
+    # params into O(lr) sign flips (observed: loss-equal runs with ~2e-5
+    # param drift) — an Adam property, not a dispatch-mode difference.
+    tx_sgd = optax.sgd(1e-3)
+    st0 = TrainState(params=state.params, batch_stats=state.batch_stats,
+                     opt_state=tx_sgd.init(state.params),
+                     step=jnp.int32(0))
+    student_, teacher_ = student, teacher
+    s1 = make_train_step(student_, teacher_, tx_sgd, donate=False)
+    sK = make_train_step(student_, teacher_, tx_sgd, donate=False,
+                         steps_per_dispatch=2)
+    s_ref2 = st0
+    for bt in (batch, b2):
+        s_ref2, _ = s1(s_ref2, tvars, bt, rng)
+    s_multi2, _ = sK(st0, tvars, stacked, rng)
+    for a, b in zip(jax.tree.leaves(s_multi2.params),
+                    jax.tree.leaves(s_ref2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
+
+
+def test_train_loop_steps_per_dispatch(tmp_path):
+    """train() with cfg.tpu.steps_per_dispatch=2 over 5 batches (two
+    groups of 2 + one tail single per epoch) reproduces the
+    single-dispatch loop's per-epoch losses."""
+    from rtvc_tpu.config import from_dict
+    from rtvc_tpu.tokenization import BertWordPieceTokenizer
+
+    student, teacher = tiny_pair()
+    tok = BertWordPieceTokenizer()
+    tvars = teacher.init(jax.random.PRNGKey(1),
+                         synth_batch(b=1)["frames"],
+                         synth_batch(b=1)["caption"])
+
+    def loader(base):
+        return [synth_batch(b=4, seed=base + s)
+                | {"vid-id": [f"v{s}_{i}" for i in range(4)],
+                   "caption-id": list(range(4))}
+                for s in range(5)]
+
+    def run(spd):
+        config = from_dict({
+            "logger": {"save_dir": str(tmp_path / f"spd{spd}")},
+            "train": {"lr": 1e-3, "batch_size": 4,
+                      "trainer": {"max_epochs": 1}},
+            "tpu": {"steps_per_dispatch": spd},
+            "wandb": {"mode": "disabled"},
+        })
+        _, history = train(config, loader(0), loader(20), loader(40), tok,
+                           run_name=f"spd{spd}", student=student,
+                           teacher=teacher, teacher_vars=tvars, max_epochs=1)
+        return history["train_loss"]
+
+    h1 = run(1)
+    h2 = run(2)
+    np.testing.assert_allclose(h2, h1, rtol=1e-6, atol=1e-7)
