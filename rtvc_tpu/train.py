@@ -642,33 +642,40 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                 arrays = shard_batch(arrays, mesh)  # dp-axis placement
             if multi_step is not None:
                 b = int(arrays["caption"].shape[0])
-                if group_b is None:
-                    group_b = b
-                if b == group_b:
-                    group.append(arrays)
-                    if len(group) == spd:
-                        stacked = {k: jnp.stack([g[k] for g in group])
-                                   for k in group[0]}
-                        group = []
+                if group and b != group_b:
+                    # batch size changed mid-epoch: drain the pending
+                    # group as singles in arrival order, then start a NEW
+                    # group at the new size (a one-off odd batch must not
+                    # disable grouping for the rest of the epoch)
+                    for pending in group:
                         t_dispatch = time.perf_counter()
-                        state, m = multi_step(state, teacher_vars, stacked,
+                        state, m = train_step(state, teacher_vars, pending,
                                               step_rng)
                         dispatch_s = time.perf_counter() - t_dispatch
                         if n_steps == 0:
                             first_dispatch_s = dispatch_s
                         dispatch_ms.append(dispatch_s * 1e3)
-                        for i in range(spd):
-                            epoch_losses.append(m["total"][i])
-                        n_steps += spd
-                    continue
-                # ragged batch (b != group_b): drain pending singles in
-                # arrival order, then fall through to a single dispatch
-                for pending in group:
-                    state, m = train_step(state, teacher_vars, pending,
+                        epoch_losses.append(m["total"])
+                        n_steps += 1
+                    group = []
+                if not group:
+                    group_b = b
+                group.append(arrays)
+                if len(group) == spd:
+                    stacked = {k: jnp.stack([g[k] for g in group])
+                               for k in group[0]}
+                    group = []
+                    t_dispatch = time.perf_counter()
+                    state, m = multi_step(state, teacher_vars, stacked,
                                           step_rng)
-                    epoch_losses.append(m["total"])
-                    n_steps += 1
-                group = []
+                    dispatch_s = time.perf_counter() - t_dispatch
+                    if n_steps == 0:
+                        first_dispatch_s = dispatch_s
+                    dispatch_ms.append(dispatch_s * 1e3)
+                    for i in range(spd):
+                        epoch_losses.append(m["total"][i])
+                    n_steps += spd
+                continue
             t_dispatch = time.perf_counter()
             state, m = train_step(state, teacher_vars, arrays, step_rng)
             dispatch_s = time.perf_counter() - t_dispatch

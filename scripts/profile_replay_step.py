@@ -129,6 +129,52 @@ def main():
           f"(adam+update ~{ms_full - ms_bwd:.2f}; wall via train(): "
           f"48.6 ms)", flush=True)
 
+    # same, with PLAIN optax.adam — is inject_hyperparams (the plateau-LR
+    # mechanism, train.set_learning_rate) costing device time per step?
+    tx_plain = optax.adam(learning_rate=1e-4)
+    opt_plain = jax.jit(tx_plain.init)(state.params)
+    jax.block_until_ready(opt_plain)
+
+    def full_plain_body(st, f):
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(st.params, st.batch_stats, f)
+        updates, new_opt = tx_plain.update(grads, st.opt_state, st.params)
+        new_params = optax.apply_updates(st.params, updates)
+        st2 = TrainState(params=new_params, batch_stats=new_stats,
+                         opt_state=new_opt, step=st.step + 1)
+        return st2, loss
+
+    state_plain = TrainState(params=state.params,
+                             batch_stats=state.batch_stats,
+                             opt_state=opt_plain, step=state.step)
+
+    def scan_arm_with(body, st0):
+        def make(n):
+            def prog(st, f0):
+                def sbody(c, _):
+                    st_c, acc = c
+                    st_n, s = body(st_c, f0 + acc * 1e-20)
+                    return (st_n, s), ()
+                (st_f, acc), _ = jax.lax.scan(
+                    sbody, (st, jnp.float32(0.0)), None, length=n)
+                return acc
+            return prog
+
+        def timed2(fn, n):
+            f = jax.jit(fn)
+            np.asarray(f(st0, frames))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                np.asarray(f(st0, frames))
+            return (time.perf_counter() - t0) / 3
+        t1 = timed2(make(1), 1)
+        tn = timed2(make(1 + reps), 1 + reps)
+        return (tn - t1) / reps * 1e3
+
+    ms_plain = scan_arm_with(full_plain_body, state_plain)
+    print(f"{'full chained step (plain adam)':36s} {ms_plain:8.2f} ms",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -788,3 +788,46 @@ def test_train_loop_steps_per_dispatch(tmp_path):
     h1 = run(1)
     h2 = run(2)
     np.testing.assert_allclose(h2, h1, rtol=1e-6, atol=1e-7)
+
+
+def test_train_loop_spd_batch_size_change(tmp_path):
+    """steps_per_dispatch grouping across a MID-EPOCH batch-size change:
+    sizes [8,8,4,4,8] with spd=2 must regroup at the new size (not fall
+    back to singles for the rest of the epoch) and reproduce the spd=1
+    losses; sizes [8,4,8,8] exercises the drain-pending-then-restart
+    path where every size flip strands one single. (Sizes stay multiples
+    of the default dp axis so the ragged-trim guard never fires.)"""
+    from rtvc_tpu.config import from_dict
+    from rtvc_tpu.tokenization import BertWordPieceTokenizer
+
+    student, teacher = tiny_pair()
+    tok = BertWordPieceTokenizer()
+    tvars = teacher.init(jax.random.PRNGKey(1),
+                         synth_batch(b=1)["frames"],
+                         synth_batch(b=1)["caption"])
+
+    def loader(sizes, base):
+        return [synth_batch(b=b, seed=base + s)
+                | {"vid-id": [f"v{s}_{i}" for i in range(b)],
+                   "caption-id": list(range(b))}
+                for s, b in enumerate(sizes)]
+
+    def run(spd, sizes, tag):
+        config = from_dict({
+            "logger": {"save_dir": str(tmp_path / tag)},
+            "train": {"lr": 1e-3, "batch_size": 4,
+                      "trainer": {"max_epochs": 1}},
+            "tpu": {"steps_per_dispatch": spd},
+            "wandb": {"mode": "disabled"},
+        })
+        _, history = train(config, loader(sizes, 0), loader(sizes, 20),
+                           loader(sizes, 40), tok, run_name=tag,
+                           student=student, teacher=teacher,
+                           teacher_vars=tvars, max_epochs=1)
+        return history["train_loss"]
+
+    for sizes in ([8, 8, 4, 4, 8], [8, 4, 8, 8]):
+        tag = "x".join(map(str, sizes))
+        h1 = run(1, sizes, f"s1_{tag}")
+        h2 = run(2, sizes, f"s2_{tag}")
+        np.testing.assert_allclose(h2, h1, rtol=1e-6, atol=1e-7)
