@@ -1,0 +1,186 @@
+"""gRPC front-end tests (rtvc_tpu/serving_grpc.py).
+
+Drives a real grpc.server over a loopback socket with the stub-free
+CaptionClient: unary caption equality with the in-process API, the
+bidirectional CaptionStream RPC (ordering, seq echo, per-RPC
+supersession, per-window error replies), stats, and input validation
+(INVALID_ARGUMENT / UNAVAILABLE status codes).
+"""
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+grpc = pytest.importorskip("grpc")
+
+from rtvc_tpu.serving import BatchCaptionServer
+from rtvc_tpu.serving_grpc import (CaptionClient, CaptionGRPCFrontend,
+                                   encode_window)
+from rtvc_tpu.tokenization import BertWordPieceTokenizer
+
+from test_models import tiny_student
+
+WINDOW = 3
+FRAME = (64, 64, 3)
+
+
+def _make_server(**kw):
+    model = tiny_student(dropout=0.0)
+    frames = jnp.zeros((1, WINDOW, 224, 224, 3), jnp.float32)
+    y = jnp.array([[model.cls_token_id, 5]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), frames, y)
+    kw.setdefault("max_batch", 2)
+    kw.setdefault("max_wait_ms", 5.0)
+    kw.setdefault("max_len", 8)
+    kw.setdefault("frame_shape", FRAME)
+    kw.setdefault("window", WINDOW)
+    return BatchCaptionServer(model, variables, BertWordPieceTokenizer(),
+                              **kw)
+
+
+@pytest.fixture(scope="module")
+def stack():
+    server = _make_server()
+    with CaptionGRPCFrontend(server, port=0) as fe:
+        with CaptionClient(f"127.0.0.1:{fe.port}") as client:
+            yield fe, server, client
+    server.close()
+
+
+def _window(seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, size=(WINDOW,) + FRAME).astype(np.uint8)
+
+
+def test_unary_caption_matches_inprocess(stack):
+    fe, server, client = stack
+    win = _window(0)
+    expect = server.submit(win).result(timeout=120)
+    reply = client.caption(win, timeout_s=120.0, seq=42)
+    assert reply.caption == expect
+    assert reply.seq == 42
+    assert not reply.superseded
+    assert reply.latency_ms > 0.0
+
+
+def test_stats_rpc(stack):
+    fe, server, client = stack
+    client.caption(_window(1), timeout_s=120.0)
+    stats = client.stats()
+    assert stats["served"] >= 1.0
+    assert stats == {k: float(v) for k, v in server.stats().items()}
+
+
+def test_stream_orders_and_echoes_seq(stack):
+    """One CaptionStream RPC carrying 3 DISTINCT stream_ids (so nothing
+    can supersede): replies arrive in arrival order, seq echoes, and each
+    caption equals the in-process result for that window."""
+    fe, server, client = stack
+    wins = [_window(s) for s in (10, 11, 12)]
+    expect = [server.submit(w).result(timeout=120) for w in wins]
+
+    reqs = [encode_window(w, stream_id=f"cam{i}", seq=100 + i)
+            for i, w in enumerate(wins)]
+    replies = list(client.caption_stream(reqs))
+    assert [r.seq for r in replies] == [100, 101, 102]
+    assert [r.caption for r in replies] == expect
+    assert not any(r.superseded for r in replies)
+
+
+def test_stream_per_rpc_supersession():
+    """Default stream_id is per-RPC: windows pushed faster than the
+    scheduler drains resolve all-but-the-last as superseded. A dedicated
+    server with a long linger holds the queue open so the race is
+    deterministic."""
+    server = _make_server(max_wait_ms=1500.0)
+    try:
+        with CaptionGRPCFrontend(server, port=0) as fe:
+            with CaptionClient(f"127.0.0.1:{fe.port}") as client:
+                wins = [_window(s) for s in (20, 21)]
+                reqs = [encode_window(w, seq=i) for i, w in enumerate(wins)]
+                replies = list(client.caption_stream(reqs))
+        assert [r.seq for r in replies] == [0, 1]
+        assert replies[0].superseded and not replies[0].caption
+        assert replies[1].caption and not replies[1].superseded
+    finally:
+        server.close()
+
+
+def test_stream_bad_window_gets_error_reply(stack):
+    """A malformed window inside a stream yields an error REPLY for that
+    seq; the RPC keeps serving subsequent windows."""
+    fe, server, client = stack
+    good = _window(30)
+    expect = server.submit(good).result(timeout=120)
+    from rtvc_tpu.proto import caption_pb2 as pb
+    bad = pb.CaptionRequest(frames=b"xx", window=WINDOW, height=64,
+                            width=64, stream_id="bad", seq=1)
+    reqs = [bad, encode_window(good, stream_id="good", seq=2)]
+    replies = list(client.caption_stream(reqs))
+    assert [r.seq for r in replies] == [1, 2]
+    assert "bytes" in replies[0].error
+    assert replies[1].caption == expect
+
+
+def test_unary_bad_shape_is_invalid_argument(stack):
+    fe, server, client = stack
+    with pytest.raises(grpc.RpcError) as exc:
+        client.caption(np.zeros((WINDOW, 16, 16, 3), np.uint8),
+                       timeout_s=30.0)
+    assert exc.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+
+def test_unary_closed_server_is_unavailable():
+    server = _make_server()
+    with CaptionGRPCFrontend(server, port=0) as fe:
+        with CaptionClient(f"127.0.0.1:{fe.port}") as client:
+            server.close()
+            with pytest.raises(grpc.RpcError) as exc:
+                client.caption(_window(40), timeout_s=30.0)
+            assert exc.value.code() == grpc.StatusCode.UNAVAILABLE
+
+
+def test_concurrent_stream_rpcs_coalesce():
+    """Two CaptionStream RPCs running concurrently share one scheduler:
+    both complete with correct captions and at least one batch coalesced
+    rows from both RPCs."""
+    server = _make_server(max_wait_ms=60.0, max_batch=4)
+    try:
+        wins = [_window(s) for s in (50, 51)]
+        expect = [server.submit(w).result(timeout=120) for w in wins]
+
+        with CaptionGRPCFrontend(server, port=0) as fe:
+            results = {}
+            lock = threading.Lock()
+            barrier = threading.Barrier(2)
+
+            def rpc_worker(idx):
+                with CaptionClient(f"127.0.0.1:{fe.port}") as client:
+                    def gen():
+                        barrier.wait(timeout=30)  # submits race the linger
+                        yield encode_window(wins[idx],
+                                            stream_id=f"rpc{idx}", seq=idx)
+                    replies = list(client.caption_stream(gen()))
+                    with lock:
+                        results[idx] = replies
+
+            threads = [threading.Thread(target=rpc_worker, args=(i,))
+                       for i in range(2)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=180)
+            stats = server.stats()
+
+        for i in range(2):
+            assert len(results[i]) == 1
+            assert results[i][0].caption == expect[i]
+        # the 60 ms linger must have coalesced the two racing windows
+        assert stats["mean_batch"] > 1.0 or max(
+            server.batch_sizes, default=1) > 1
+    finally:
+        server.close()
