@@ -97,6 +97,24 @@ def main() -> None:
     raw_clips = [host_rng.integers(0, 255, size=(6, 480, 640, 3),
                                    dtype=np.uint8) for _ in range(40)]
 
+    # Tunnel-health probe: the streaming leg is upload-bound over the axon
+    # link (0.9 MB/window), so the headline fps tracks link bandwidth, not
+    # chip speed (docs/PERF.md §4/§5). Log the measured host→device rate so
+    # every bench run self-documents which regime it ran in (observed
+    # 15-29 MB/s across sessions → ~300-810 fps for the same code).
+    probe = host_rng.integers(0, 255, size=(4 * 1024 * 1024,), dtype=np.uint8)
+    # device_put alone returns after the local enqueue — a device-side
+    # reduction FETCHED back is the only reliable proof the bytes crossed
+    # (same tunnel caveat as block_until_ready, docs/PERF.md §4)
+    consume = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+    np.asarray(consume(jax.device_put(probe)))  # warm the path + compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        probe[0] += 1  # distinct buffer each rep (defeat transfer caching)
+        np.asarray(consume(jax.device_put(probe)))
+    h2d = 3 * probe.nbytes / (time.perf_counter() - t0) / 2**20
+    log(f"host->device link: {h2d:.1f} MB/s (0.9 MB/window upload bound)")
+
     # warmup / compile
     t0 = time.perf_counter()
     np.asarray(step(variables, jnp.asarray(host_resize(raw_clips[0]))))
