@@ -102,18 +102,26 @@ def main() -> None:
     # chip speed (docs/PERF.md §4/§5). Log the measured host→device rate so
     # every bench run self-documents which regime it ran in (observed
     # 15-29 MB/s across sessions → ~300-810 fps for the same code).
-    probe = host_rng.integers(0, 255, size=(4 * 1024 * 1024,), dtype=np.uint8)
     # device_put alone returns after the local enqueue — a device-side
     # reduction FETCHED back is the only reliable proof the bytes crossed
-    # (same tunnel caveat as block_until_ready, docs/PERF.md §4)
-    consume = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
-    np.asarray(consume(jax.device_put(probe)))  # warm the path + compile
-    t0 = time.perf_counter()
-    for _ in range(3):
-        probe[0] += 1  # distinct buffer each rep (defeat transfer caching)
-        np.asarray(consume(jax.device_put(probe)))
-    h2d = 3 * probe.nbytes / (time.perf_counter() - t0) / 2**20
-    log(f"host->device link: {h2d:.1f} MB/s (0.9 MB/window upload bound)")
+    # (same tunnel caveat as block_until_ready, docs/PERF.md §4). Each rep
+    # pays the ~30 ms fetch-RTT floor on top of the transfer, so time a
+    # 4 MB and a 4 KB buffer and take bandwidth from the DELTA — otherwise
+    # the floor biases the reading ~10-25% low on a healthy link.
+    def timed_upload(n_bytes: int, reps: int = 3) -> float:
+        buf = host_rng.integers(0, 255, size=(n_bytes,), dtype=np.uint8)
+        consume = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+        np.asarray(consume(jax.device_put(buf)))  # warm the path + compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            buf[0] += 1  # distinct buffer per rep (defeat transfer caching)
+            np.asarray(consume(jax.device_put(buf)))
+        return (time.perf_counter() - t0) / reps
+
+    t_big, t_tiny = timed_upload(4 * 2**20), timed_upload(4 * 2**10)
+    h2d = (4 * 2**20 - 4 * 2**10) / max(t_big - t_tiny, 1e-9) / 2**20
+    log(f"host->device link: {h2d:.1f} MB/s, rtt floor {t_tiny * 1e3:.1f} ms"
+        f" (streaming leg uploads 0.9 MB/window)")
 
     # warmup / compile
     t0 = time.perf_counter()

@@ -161,8 +161,12 @@ class TpuConfig:
     # no dispatch gap to remove, and the scanned program runs ~40% slower
     # per step than back-to-back singles (45-48 vs 63-65 ms wall at K=4/8;
     # docs/PERF.md §3). The knob exists for runtimes where per-dispatch
-    # latency is real. Groups only full prefetched batches on a
-    # single-device mesh; ragged tails and cache-miss batches run singly.
+    # latency is real. Single-device mesh only; groups consecutive batches
+    # with identical array signatures (keys/shapes/dtypes — cache hits and
+    # misses both group, since a miss feeds the step the same arrays a hit
+    # would). A mid-epoch signature change (ragged tail, loader quirk)
+    # drains the pending group singly, then grouping resumes at the new
+    # signature; an end-of-epoch partial group always drains singly.
     steps_per_dispatch: int = 1
     # W8A8 frozen-teacher inference. Measured end-to-end verdict on the
     # v5e/XLA build of record: the full int8 distillation step is 1.06x

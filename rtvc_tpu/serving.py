@@ -388,6 +388,60 @@ class BatchCaptionServer:
 
 # ---------------------------------------------------------------- CLI demo
 
+def add_frontend_cli_args(p) -> None:
+    """The CLI surface shared by the HTTP and gRPC front-end mains
+    (each main adds its own --port with its protocol's default)."""
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint dir (data/io.py layout); random init "
+                        "if omitted")
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=4.0)
+    p.add_argument("--beam", type=int, default=0,
+                   help="0 = greedy; K>0 = batch beam search width K")
+    p.add_argument("--frame-size", type=int, default=224,
+                   help="expected square frame edge of incoming windows")
+
+
+def server_from_frontend_args(a) -> "BatchCaptionServer":
+    """Build the student + variables (random init, or checkpoint restore
+    via the same loading path inference.py uses) and the
+    BatchCaptionServer behind a network front-end — the single model-load
+    block shared by serving_http.main and serving_grpc.main."""
+    import jax
+    import jax.numpy as jnp
+
+    from .config import cfg
+    from .models.student import student_from_config
+    from .real_time_inference import WINDOW
+    from .tokenization import BertWordPieceTokenizer
+
+    if a.ckpt:
+        # rebuild the student with the activation the weights were trained
+        # under (checkpoint sidecar meta), mirroring inference.py
+        from .models.student import student_matching_checkpoint
+        student = student_matching_checkpoint(cfg, a.ckpt)
+    else:
+        student = student_from_config(cfg)
+    dummy_f = jnp.zeros((1, WINDOW, 224, 224, 3))
+    dummy_y = jnp.array([[student.cls_token_id, 5]], jnp.int32)
+    variables = jax.jit(student.init)(jax.random.PRNGKey(cfg.seed),
+                                      dummy_f, dummy_y)
+    if a.ckpt:
+        # load_kd_student_params strips the distillation-only heads — the
+        # same inference-loading path inference.py uses
+        from .data.io import load_kd_student_params
+        restored = load_kd_student_params(a.ckpt)
+        variables = {**variables, "params": restored["params"]}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
+
+    return BatchCaptionServer(
+        student, variables, BertWordPieceTokenizer(),
+        max_batch=a.max_batch, max_wait_ms=a.max_wait_ms, beam=a.beam,
+        frame_shape=(a.frame_size, a.frame_size, 3), window=WINDOW)
+
+
 def simulate_streams(source: str, *, n_streams: int = 8,
                      windows_per_stream: int = 16, max_batch: int = 8,
                      max_wait_ms: float = 4.0, beam: int = 0,

@@ -98,13 +98,19 @@ class CaptionGRPCFrontend:
 
     def __init__(self, server: BatchCaptionServer, *,
                  host: str = "127.0.0.1", port: int = 50051,
-                 max_workers: int = 16):
+                 max_workers: int = 64):
+        """``max_workers`` is the CONCURRENT-RPC cap: every live
+        CaptionStream RPC pins one (mostly sleeping) worker thread for
+        its whole lifetime, so size it above the expected camera count
+        plus unary headroom — an exhausted pool queues new RPCs
+        indefinitely with no error."""
         _require_grpc()
         from concurrent import futures
 
         self.server = server
+        executor = futures.ThreadPoolExecutor(max_workers=max_workers)
         self._grpc_server = grpc.server(
-            futures.ThreadPoolExecutor(max_workers=max_workers),
+            executor,
             options=[
                 ("grpc.max_receive_message_length", MAX_MESSAGE_BYTES),
                 ("grpc.max_send_message_length", MAX_MESSAGE_BYTES),
@@ -112,6 +118,10 @@ class CaptionGRPCFrontend:
         self._grpc_server.add_generic_rpc_handlers((self._handlers(),))
         self.port = self._grpc_server.add_insecure_port(f"{host}:{port}")
         if self.port == 0:
+            # release the never-started server's executor instead of
+            # leaking its idle threads for the process lifetime
+            self._grpc_server.stop(0)
+            executor.shutdown(wait=False)
             raise RuntimeError(f"could not bind gRPC port on {host}:{port}")
         self._anon_rpc_counter = itertools.count(1)
 
@@ -185,7 +195,10 @@ class CaptionGRPCFrontend:
                         continue
                     out_q.put((seq, fut, None))
             except Exception as e:  # client cancel / transport error
-                out_q.put((0, None, f"stream read failed: {e}"))
+                # seq=None: a STREAM-level failure belongs to no window —
+                # the reply carries stream_error so a client correlating
+                # by seq can't misattribute it to a real window
+                out_q.put((None, None, f"stream read failed: {e}"))
             finally:
                 out_q.put(None)
 
@@ -197,7 +210,10 @@ class CaptionGRPCFrontend:
                 break
             seq, fut, err = item
             if fut is None:
-                yield pb.CaptionReply(error=err, seq=seq)
+                if seq is None:  # stream-level transport failure
+                    yield pb.CaptionReply(error=err, stream_error=True)
+                else:            # per-window failure: echo its seq
+                    yield pb.CaptionReply(error=err, seq=seq)
                 continue
             try:
                 text = fut.result(timeout=STREAM_WINDOW_TIMEOUT_S)
@@ -291,49 +307,20 @@ def main(argv: Optional[list] = None) -> None:
     """Serve captions over gRPC (random weights unless --ckpt is given)."""
     import argparse
 
-    import jax
-    import jax.numpy as jnp
-
-    from .config import cfg
-    from .models.student import student_from_config
-    from .real_time_inference import WINDOW
-    from .tokenization import BertWordPieceTokenizer
+    from .serving import add_frontend_cli_args, server_from_frontend_args
 
     p = argparse.ArgumentParser(description=main.__doc__)
-    p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=50051)
-    p.add_argument("--ckpt", default=None,
-                   help="checkpoint dir (data/io.py layout); random init "
-                        "if omitted")
-    p.add_argument("--max-batch", type=int, default=8)
-    p.add_argument("--max-wait-ms", type=float, default=4.0)
-    p.add_argument("--beam", type=int, default=0,
-                   help="0 = greedy; K>0 = batch beam search width K")
-    p.add_argument("--frame-size", type=int, default=224,
-                   help="expected square frame edge of incoming windows")
+    p.add_argument("--max-workers", type=int, default=64,
+                   help="concurrent-RPC cap; every live CaptionStream "
+                        "pins one worker thread, so size above the "
+                        "expected camera count plus unary headroom")
+    add_frontend_cli_args(p)
     a = p.parse_args(argv)
 
-    if a.ckpt:
-        from .models.student import student_matching_checkpoint
-        student = student_matching_checkpoint(cfg, a.ckpt)
-    else:
-        student = student_from_config(cfg)
-    dummy_f = jnp.zeros((1, WINDOW, 224, 224, 3))
-    dummy_y = jnp.array([[student.cls_token_id, 5]], jnp.int32)
-    variables = jax.jit(student.init)(jax.random.PRNGKey(cfg.seed),
-                                      dummy_f, dummy_y)
-    if a.ckpt:
-        from .data.io import load_kd_student_params
-        restored = load_kd_student_params(a.ckpt)
-        variables = {**variables, "params": restored["params"]}
-        if restored.get("batch_stats"):
-            variables["batch_stats"] = restored["batch_stats"]
-
-    server = BatchCaptionServer(
-        student, variables, BertWordPieceTokenizer(),
-        max_batch=a.max_batch, max_wait_ms=a.max_wait_ms, beam=a.beam,
-        frame_shape=(a.frame_size, a.frame_size, 3), window=WINDOW)
-    with CaptionGRPCFrontend(server, host=a.host, port=a.port) as fe:
+    server = server_from_frontend_args(a)
+    with CaptionGRPCFrontend(server, host=a.host, port=a.port,
+                             max_workers=a.max_workers) as fe:
         print(f"serving gRPC on {a.host}:{fe.port}  "
               f"(rtvc.CaptionService/Caption|CaptionStream|Stats)",
               flush=True)

@@ -196,52 +196,14 @@ def main(argv: Optional[list] = None) -> None:
     """Serve captions over HTTP (random weights unless --ckpt is given)."""
     import argparse
 
-    import jax
-    import jax.numpy as jnp
-
-    from .config import cfg
-    from .models.student import student_from_config
-    from .real_time_inference import WINDOW
-    from .tokenization import BertWordPieceTokenizer
+    from .serving import add_frontend_cli_args, server_from_frontend_args
 
     p = argparse.ArgumentParser(description=main.__doc__)
-    p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
-    p.add_argument("--ckpt", default=None,
-                   help="checkpoint dir (data/io.py layout); random init "
-                        "if omitted")
-    p.add_argument("--max-batch", type=int, default=8)
-    p.add_argument("--max-wait-ms", type=float, default=4.0)
-    p.add_argument("--beam", type=int, default=0,
-                   help="0 = greedy; K>0 = batch beam search width K")
-    p.add_argument("--frame-size", type=int, default=224,
-                   help="expected square frame edge of incoming windows")
+    add_frontend_cli_args(p)
     a = p.parse_args(argv)
 
-    if a.ckpt:
-        # rebuild the student with the activation the weights were trained
-        # under (checkpoint sidecar meta), mirroring inference.py
-        from .models.student import student_matching_checkpoint
-        student = student_matching_checkpoint(cfg, a.ckpt)
-    else:
-        student = student_from_config(cfg)
-    dummy_f = jnp.zeros((1, WINDOW, 224, 224, 3))
-    dummy_y = jnp.array([[student.cls_token_id, 5]], jnp.int32)
-    variables = jax.jit(student.init)(jax.random.PRNGKey(cfg.seed),
-                                      dummy_f, dummy_y)
-    if a.ckpt:
-        # load_kd_student_params strips the distillation-only heads — the
-        # same inference-loading path inference.py uses
-        from .data.io import load_kd_student_params
-        restored = load_kd_student_params(a.ckpt)
-        variables = {**variables, "params": restored["params"]}
-        if restored.get("batch_stats"):
-            variables["batch_stats"] = restored["batch_stats"]
-
-    server = BatchCaptionServer(
-        student, variables, BertWordPieceTokenizer(),
-        max_batch=a.max_batch, max_wait_ms=a.max_wait_ms, beam=a.beam,
-        frame_shape=(a.frame_size, a.frame_size, 3), window=WINDOW)
+    server = server_from_frontend_args(a)
     with CaptionHTTPFrontend(server, host=a.host, port=a.port) as fe:
         print(f"serving on http://{a.host}:{fe.port}  "
               f"(POST /v1/caption, GET /v1/stats)", flush=True)

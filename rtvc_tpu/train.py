@@ -585,7 +585,24 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
         first_dispatch_s = 0.0
         dispatch_ms: List[float] = []
         group: List[Dict[str, Any]] = []   # pending batches for multi_step
-        group_b: Optional[int] = None
+        group_sig: Optional[tuple] = None
+
+        def dispatch_single(arrs: Dict[str, Any]) -> None:
+            """One train_step dispatch + the shared bookkeeping (timing,
+            first-dispatch capture, loss/step accounting) — the single
+            source of truth for every non-grouped dispatch site. On epoch
+            0 the first dispatch is the jit trace+compile (execution is
+            async) — captured so artifacts report steady-state step time
+            separately from compile."""
+            nonlocal state, n_steps, first_dispatch_s
+            t_dispatch = time.perf_counter()
+            state, m = train_step(state, teacher_vars, arrs, step_rng)
+            dispatch_s = time.perf_counter() - t_dispatch
+            if n_steps == 0:
+                first_dispatch_s = dispatch_s
+            dispatch_ms.append(dispatch_s * 1e3)
+            epoch_losses.append(m["total"])
+            n_steps += 1
         # Cached-teacher epochs iterate through CacheReplayFeed: a producer
         # thread reads the NEXT batch's cache entries and starts their
         # host→device upload while the current step computes, so the hit
@@ -641,25 +658,24 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                     arrays = {k: v[:usable] for k, v in arrays.items()}
                 arrays = shard_batch(arrays, mesh)  # dp-axis placement
             if multi_step is not None:
-                b = int(arrays["caption"].shape[0])
-                if group and b != group_b:
-                    # batch size changed mid-epoch: drain the pending
+                # Group key is the FULL array signature (keys, shapes,
+                # dtypes), not just the batch size: jnp.stack requires
+                # every leaf to match, and a custom loader may vary a
+                # non-leading dim (per-batch caption padding) or the
+                # teacher-cache key set mid-epoch.
+                sig = tuple(sorted(
+                    (k, tuple(v.shape), str(getattr(v, "dtype", type(v))))
+                    for k, v in arrays.items()))
+                if group and sig != group_sig:
+                    # signature changed mid-epoch: drain the pending
                     # group as singles in arrival order, then start a NEW
-                    # group at the new size (a one-off odd batch must not
-                    # disable grouping for the rest of the epoch)
+                    # group at the new signature (a one-off odd batch must
+                    # not disable grouping for the rest of the epoch)
                     for pending in group:
-                        t_dispatch = time.perf_counter()
-                        state, m = train_step(state, teacher_vars, pending,
-                                              step_rng)
-                        dispatch_s = time.perf_counter() - t_dispatch
-                        if n_steps == 0:
-                            first_dispatch_s = dispatch_s
-                        dispatch_ms.append(dispatch_s * 1e3)
-                        epoch_losses.append(m["total"])
-                        n_steps += 1
+                        dispatch_single(pending)
                     group = []
                 if not group:
-                    group_b = b
+                    group_sig = sig
                 group.append(arrays)
                 if len(group) == spd:
                     stacked = {k: jnp.stack([g[k] for g in group])
@@ -676,24 +692,10 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                         epoch_losses.append(m["total"][i])
                     n_steps += spd
                 continue
-            t_dispatch = time.perf_counter()
-            state, m = train_step(state, teacher_vars, arrays, step_rng)
-            dispatch_s = time.perf_counter() - t_dispatch
-            if n_steps == 0:
-                # first dispatch of the epoch: on epoch 0 this is the jit
-                # trace+compile (execution itself is async) — recorded so
-                # artifacts can report steady-state step time separately
-                first_dispatch_s = dispatch_s
-            dispatch_ms.append(dispatch_s * 1e3)
-            epoch_losses.append(m["total"])
-            n_steps += 1
+            dispatch_single(arrays)
         # epoch tail: fewer than steps_per_dispatch batches pending
         for pending in group:
-            t_dispatch = time.perf_counter()
-            state, m = train_step(state, teacher_vars, pending, step_rng)
-            dispatch_ms.append((time.perf_counter() - t_dispatch) * 1e3)
-            epoch_losses.append(m["total"])
-            n_steps += 1
+            dispatch_single(pending)
         t_fetch = time.perf_counter()
         losses_np = [float(l) for l in epoch_losses]  # fetch forces completion
         fetch_s = time.perf_counter() - t_fetch

@@ -71,17 +71,13 @@ def main():
             targets=caps, weights=weights)
         return losses["total"], mutated["batch_stats"]
 
-    def timed(fn, n):
-        f = jax.jit(fn)
-        np.asarray(f(state, frames))
-        t0 = time.perf_counter()
-        for _ in range(3):
-            np.asarray(f(state, frames))
-        return (time.perf_counter() - t0) / 3
-
-    def scan_arm(body):
+    def scan_arm(body, st0=None):
         """body(carry_state, f) -> (carry_state, scalar); scalar folded
-        into the next iteration's frames to defeat DCE/dedup."""
+        into the next iteration's frames to defeat DCE/dedup. ``st0``
+        lets an arm start from a different TrainState (e.g. a different
+        optimizer's opt_state) without duplicating the harness."""
+        st0 = state if st0 is None else st0
+
         def make(n):
             def prog(st, f0):
                 def sbody(c, _):
@@ -92,8 +88,17 @@ def main():
                     sbody, (st, jnp.float32(0.0)), None, length=n)
                 return acc
             return prog
-        t1 = timed(make(1), 1)
-        tn = timed(make(1 + reps), 1 + reps)
+
+        def timed(fn):
+            f = jax.jit(fn)
+            np.asarray(f(st0, frames))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                np.asarray(f(st0, frames))
+            return (time.perf_counter() - t0) / 3
+
+        t1 = timed(make(1))
+        tn = timed(make(1 + reps))
         return (tn - t1) / reps * 1e3
 
     # fwd only
@@ -148,30 +153,7 @@ def main():
                              batch_stats=state.batch_stats,
                              opt_state=opt_plain, step=state.step)
 
-    def scan_arm_with(body, st0):
-        def make(n):
-            def prog(st, f0):
-                def sbody(c, _):
-                    st_c, acc = c
-                    st_n, s = body(st_c, f0 + acc * 1e-20)
-                    return (st_n, s), ()
-                (st_f, acc), _ = jax.lax.scan(
-                    sbody, (st, jnp.float32(0.0)), None, length=n)
-                return acc
-            return prog
-
-        def timed2(fn, n):
-            f = jax.jit(fn)
-            np.asarray(f(st0, frames))
-            t0 = time.perf_counter()
-            for _ in range(3):
-                np.asarray(f(st0, frames))
-            return (time.perf_counter() - t0) / 3
-        t1 = timed2(make(1), 1)
-        tn = timed2(make(1 + reps), 1 + reps)
-        return (tn - t1) / reps * 1e3
-
-    ms_plain = scan_arm_with(full_plain_body, state_plain)
+    ms_plain = scan_arm(full_plain_body, state_plain)
     print(f"{'full chained step (plain adam)':36s} {ms_plain:8.2f} ms",
           flush=True)
 

@@ -126,6 +126,30 @@ def test_stream_bad_window_gets_error_reply(stack):
     assert replies[1].caption == expect
 
 
+def test_stream_transport_failure_is_stream_error(stack):
+    """A request iterator that dies mid-stream yields a reply flagged
+    stream_error=True (not attributable to any window's seq), after the
+    windows read before the failure were served normally."""
+    fe, server, client = stack
+    good = _window(60)
+    expect = server.submit(good).result(timeout=120)
+
+    def dying_iterator():
+        yield encode_window(good, stream_id="pre-fail", seq=7)
+        raise OSError("transport dropped")
+
+    # drive the handler generator directly: grpc transports a client-side
+    # generator failure as CANCELLED instead of handing the iterator's
+    # exception to the servicer, so the reader's failure path is only
+    # reachable deterministically in-process
+    replies = list(fe._caption_stream(dying_iterator(), context=None))
+    assert [r.seq for r in replies] == [7, 0]
+    assert replies[0].caption == expect and not replies[0].stream_error
+    assert replies[1].stream_error
+    assert "transport dropped" in replies[1].error
+    assert not replies[1].caption
+
+
 def test_unary_bad_shape_is_invalid_argument(stack):
     fe, server, client = stack
     with pytest.raises(grpc.RpcError) as exc:

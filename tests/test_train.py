@@ -831,3 +831,72 @@ def test_train_loop_spd_batch_size_change(tmp_path):
         h1 = run(1, sizes, f"s1_{tag}")
         h2 = run(2, sizes, f"s2_{tag}")
         np.testing.assert_allclose(h2, h1, rtol=1e-6, atol=1e-7)
+
+
+def test_train_loop_spd_caption_length_change(tmp_path):
+    """The group key is the FULL array signature, not just the batch
+    size: two same-size batches whose captions are padded to different
+    lengths must NOT be stacked into one multi-step dispatch (jnp.stack
+    would raise mid-epoch); they drain singly and reproduce spd=1."""
+    from rtvc_tpu.config import from_dict
+    from rtvc_tpu.tokenization import BertWordPieceTokenizer
+
+    student, teacher = tiny_pair()
+    tok = BertWordPieceTokenizer()
+    tvars = teacher.init(jax.random.PRNGKey(1),
+                         synth_batch(b=1)["frames"],
+                         synth_batch(b=1)["caption"])
+
+    def loader(t_lens, base):
+        return [synth_batch(b=8, t=t, seed=base + s)
+                | {"vid-id": [f"v{s}_{i}" for i in range(8)],
+                   "caption-id": list(range(8))}
+                for s, t in enumerate(t_lens)]
+
+    t_lens = [6, 6, 8, 8, 6]  # same batch size, caption pad flips 6->8->6
+
+    def run(spd):
+        config = from_dict({
+            "logger": {"save_dir": str(tmp_path / f"tlen{spd}")},
+            "train": {"lr": 1e-3, "batch_size": 8,
+                      "trainer": {"max_epochs": 1}},
+            "tpu": {"steps_per_dispatch": spd},
+            "wandb": {"mode": "disabled"},
+        })
+        _, history = train(config, loader(t_lens, 0), loader(t_lens, 20),
+                           loader(t_lens, 40), tok, run_name=f"tlen{spd}",
+                           student=student, teacher=teacher,
+                           teacher_vars=tvars, max_epochs=1)
+        return history["train_loss"]
+
+    np.testing.assert_allclose(run(2), run(1), rtol=1e-6, atol=1e-7)
+
+
+def test_train_loop_spd_tail_records_first_dispatch(tmp_path):
+    """An epoch with fewer batches than steps_per_dispatch drains entirely
+    through the tail path — which must still capture first_dispatch_s
+    (the compile-vs-steady-state attribution field)."""
+    from rtvc_tpu.config import from_dict
+    from rtvc_tpu.tokenization import BertWordPieceTokenizer
+
+    student, teacher = tiny_pair()
+    tok = BertWordPieceTokenizer()
+    tvars = teacher.init(jax.random.PRNGKey(1),
+                         synth_batch(b=1)["frames"],
+                         synth_batch(b=1)["caption"])
+    loader = [synth_batch(b=8, seed=s)
+              | {"vid-id": [f"v{s}_{i}" for i in range(8)],
+                 "caption-id": list(range(8))}
+              for s in range(2)]
+    config = from_dict({
+        "logger": {"save_dir": str(tmp_path / "tail")},
+        "train": {"lr": 1e-3, "batch_size": 8,
+                  "trainer": {"max_epochs": 1}},
+        "tpu": {"steps_per_dispatch": 4},  # > n_batches: tail-only epoch
+        "wandb": {"mode": "disabled"},
+    })
+    _, history = train(config, loader, loader, loader, tok,
+                       run_name="tail", student=student, teacher=teacher,
+                       teacher_vars=tvars, max_epochs=1)
+    assert len(history["train_loss"]) == 1
+    assert history["epoch_first_dispatch_s"][0] > 0.0
