@@ -150,6 +150,27 @@ def test_stream_transport_failure_is_stream_error(stack):
     assert not replies[1].caption
 
 
+def test_stream_client_cancel_keeps_server_alive(stack):
+    """A client cancelling its CaptionStream RPC mid-flight must not take
+    the scheduler or other RPCs with it: the held-open stream is cancelled
+    after its first reply and a fresh unary still serves."""
+    fe, server, client = stack
+    hold = threading.Event()
+
+    def gen():
+        yield encode_window(_window(70), stream_id="cancel-me", seq=1)
+        hold.wait(30)  # keep the RPC open until the test cancels it
+
+    call = client.caption_stream(gen())
+    it = iter(call)
+    first = next(it)
+    assert first.caption and first.seq == 1
+    call.cancel()
+    hold.set()
+    reply = client.caption(_window(71), stream_id="after", timeout_s=120.0)
+    assert reply.caption
+
+
 def test_unary_bad_shape_is_invalid_argument(stack):
     fe, server, client = stack
     with pytest.raises(grpc.RpcError) as exc:
