@@ -134,6 +134,13 @@ class TrainConfig:
     # write of the full train state otherwise stalls the loop for tens of
     # seconds over a slow device link; data/io.py::AsyncCheckpointSaver).
     async_checkpointing: bool = True
+    # Gradient accumulation: M > 1 scans the full per-batch computation
+    # (teacher forward/beam included) over M equal microbatches inside the
+    # step and applies ONE Adam update on the averaged gradients — peak
+    # activation memory drops to the microbatch's while the effective
+    # batch stays batch_size. Lightning accumulate_grad_batches semantics
+    # (train.py make_train_step docstring has the exactness caveat).
+    grad_accum_steps: int = 1
 
 
 @dataclass(frozen=True)

@@ -154,7 +154,8 @@ def make_train_step(student: StudentCandidateV1, teacher: GITTeacher,
                     kd_max_steps: int = 15, kd_length_penalty: float = 0.6,
                     external_teacher_logits: bool = False,
                     cache_top_k: int = 0,
-                    steps_per_dispatch: int = 1):
+                    steps_per_dispatch: int = 1,
+                    grad_accum: int = 1):
     """Build the jitted distillation train step.
 
     ``steps_per_dispatch > 1`` returns the multi-step variant instead: it
@@ -163,6 +164,21 @@ def make_train_step(student: StudentCandidateV1, teacher: GITTeacher,
     returning (final_state, metrics-with-[K]-leaves). Numerically
     identical to K single dispatches (same ops, same rng folding; pinned
     by tests/test_train.py::test_multi_step_dispatch_matches_singles).
+
+    ``grad_accum = M > 1`` splits every batch into M equal microbatches
+    inside the step (``lax.scan``), runs the FULL per-batch computation —
+    teacher forward/beam included — per microbatch, and applies ONE
+    optimizer update on the microbatch-averaged gradients. This bounds
+    peak activation (and live-teacher) memory at the microbatch size
+    while training at M× the effective batch. Semantics match Lightning's
+    ``accumulate_grad_batches`` (the distribution channel the reference
+    left implicit): each microbatch's losses are mean-normalized within
+    the microbatch, so the averaged gradient equals the full-batch
+    gradient exactly only when valid-token counts are equal across
+    microbatches — close in practice, and pinned within tolerance by
+    tests/test_train.py. Dropout draws independent noise per microbatch
+    (``fold_in(step_rng, micro_idx)``); batch_stats thread sequentially
+    through the scan, matching M consecutive small-batch steps.
 
     The teacher is frozen (reference model.py:741-745): its variables are a
     closed-over constant input, no gradients flow into it.
@@ -192,9 +208,11 @@ def make_train_step(student: StudentCandidateV1, teacher: GITTeacher,
     taps = TEACHER_TAP_BLOCKS if need_fmap else ()
     eos = 102  # SEP doubles as teacher pad (reference model.py:487)
 
-    def step_fn(state: TrainState, teacher_vars, batch, rng):
+    def _batch_grads(params, batch_stats, teacher_vars, batch, dropout_rng):
+        """grads + loss metrics + updated batch_stats for ONE (micro)batch —
+        the full per-batch computation (teacher forward/beam included),
+        shared verbatim by the plain step and the grad-accum scan body."""
         frames, captions = batch["frames"], batch["caption"]
-        dropout_rng = jax.random.fold_in(rng, state.step)
 
         t_logits = t_visual = None
         t_hidden = t_taps = ()
@@ -248,7 +266,7 @@ def make_train_step(student: StudentCandidateV1, teacher: GITTeacher,
 
         def loss_fn(params):
             outs, mutated = student.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 frames, captions, True, need_fmap, need_visual, need_decoder,
                 method=lambda mdl, f, c, tr, a, b_, d: mdl.distill_forward(
                     f, c, tr, a, b_, d),
@@ -276,7 +294,49 @@ def make_train_step(student: StudentCandidateV1, teacher: GITTeacher,
             return losses["total"], (losses, mutated["batch_stats"])
 
         (loss, (losses, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            loss_fn, has_aux=True)(params)
+        return grads, losses, new_stats
+
+    def step_fn(state: TrainState, teacher_vars, batch, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        if grad_accum <= 1:
+            grads, losses, new_stats = _batch_grads(
+                state.params, state.batch_stats, teacher_vars, batch,
+                dropout_rng)
+        else:
+            bsz = batch["frames"].shape[0]
+            if bsz % grad_accum:
+                raise ValueError(
+                    f"grad_accum={grad_accum} must divide batch size {bsz}")
+
+            def split(x):
+                return x.reshape((grad_accum, bsz // grad_accum)
+                                 + x.shape[1:])
+
+            micro = jax.tree.map(split, batch)
+            first = jax.tree.map(lambda x: x[0], micro)
+            g_shape, l_shape, _ = jax.eval_shape(
+                _batch_grads, state.params, state.batch_stats, teacher_vars,
+                first, dropout_rng)
+
+            def body(carry, xs):
+                stats, g_sum, l_sum = carry
+                i, mb = xs
+                g, losses, stats = _batch_grads(
+                    state.params, stats, teacher_vars, mb,
+                    jax.random.fold_in(dropout_rng, i))
+                return (stats,
+                        jax.tree.map(jnp.add, g_sum, g),
+                        jax.tree.map(jnp.add, l_sum, losses)), None
+
+            zeros = lambda t: jax.tree.map(  # noqa: E731
+                lambda s: jnp.zeros(s.shape, s.dtype), t)
+            (new_stats, g_sum, l_sum), _ = jax.lax.scan(
+                body, (state.batch_stats, zeros(g_shape), zeros(l_shape)),
+                (jnp.arange(grad_accum), micro))
+            inv = 1.0 / grad_accum
+            grads = jax.tree.map(lambda g: g * inv, g_sum)
+            losses = jax.tree.map(lambda v: v * inv, l_sum)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=new_params, batch_stats=new_stats,
@@ -537,11 +597,13 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
         from .data.teacher_cache import TeacherLogitsCache
         teacher_cache = TeacherLogitsCache(
             teacher_cache, top_k=config.train.teacher_cache_top_k)
+    grad_accum = max(1, int(getattr(config.train, "grad_accum_steps", 1)))
     train_step = make_train_step(
         student, teacher, tx, loss_weights,
         donate=config.tpu.donate_train_state,
         external_teacher_logits=teacher_cache is not None,
-        cache_top_k=teacher_cache.top_k if teacher_cache is not None else 0)
+        cache_top_k=teacher_cache.top_k if teacher_cache is not None else 0,
+        grad_accum=grad_accum)
     teacher_fwd = jax.jit(lambda tv, f, c: teacher.apply(tv, f, c)) \
         if teacher_cache is not None else None
     timer = StepTimer("train_step")
@@ -567,7 +629,7 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
             external_teacher_logits=teacher_cache is not None,
             cache_top_k=teacher_cache.top_k if teacher_cache is not None
             else 0,
-            steps_per_dispatch=spd)
+            steps_per_dispatch=spd, grad_accum=grad_accum)
 
     ckpt_saver = None
     if getattr(config.train, "async_checkpointing", False):

@@ -900,3 +900,71 @@ def test_train_loop_spd_tail_records_first_dispatch(tmp_path):
                        teacher_vars=tvars, max_epochs=1)
     assert len(history["train_loss"]) == 1
     assert history["epoch_first_dispatch_s"][0] > 0.0
+
+
+# ---------------------------------------------------------------- grad accum
+
+def test_grad_accum_matches_full_batch_on_tiled_batch():
+    """grad_accum=M on a batch that is one microbatch tiled M times must
+    reproduce the grad_accum=1 full-batch step exactly: duplication leaves
+    BN train-mode statistics and every mean-normalized loss unchanged, and
+    the M identical microbatch gradients average to the full-batch
+    gradient. Dropout off (accum draws independent noise per microbatch by
+    design). SGD pins params at ulp scale (Adam amplifies last-ulp noise —
+    see test_multi_step_dispatch_matches_singles). Running batch_stats are
+    excluded: threading applies the momentum update M times (M consecutive
+    small steps' semantics), which is the documented behavior, not a bug.
+    """
+    student = StudentCandidateV1(
+        d_model=32, n_head=4, d_ffn=64, dropout=0.0, num_decoder_layers=2,
+        vocab_size=173, max_pos_len=64, encoder_config=ENC,
+        teacher_visual_dim=32, teacher_num_tokens=2 * 17, teacher_hidden=16)
+    teacher = GITTeacher(GIT64)
+    micro = synth_batch(b=2, seed=3)
+    full = {k: jnp.concatenate([v] * 4, axis=0) for k, v in micro.items()}
+    tx = optax.sgd(1e-3)
+    state = create_train_state(student, jax.random.PRNGKey(0), full, tx)
+    tvars = teacher.init(jax.random.PRNGKey(1), full["frames"][:1],
+                         full["caption"][:1])
+    rng = jax.random.PRNGKey(7)
+
+    step1 = make_train_step(student, teacher, tx, donate=False)
+    stepM = make_train_step(student, teacher, tx, donate=False, grad_accum=4)
+
+    s_full, m_full = step1(state, tvars, full, rng)
+    s_acc, m_acc = stepM(state, tvars, full, rng)
+
+    np.testing.assert_allclose(float(m_acc["total"]), float(m_full["total"]),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(m_acc["kl"]), float(m_full["kl"]),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(m_acc["ce"]), float(m_full["ce"]),
+                               rtol=1e-6, atol=1e-7)
+    assert int(s_acc.step) == int(s_full.step) == 1
+    for a, b in zip(jax.tree.leaves(s_acc.params),
+                    jax.tree.leaves(s_full.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
+
+
+def test_grad_accum_runs_and_learns(setup):
+    """Adam + dropout + accumulation: one optimizer update per call, finite
+    metrics, and a fixed batch overfits."""
+    student, teacher, batch, tx, state, tvars = setup
+    step = make_train_step(student, teacher, tx, donate=False, grad_accum=2)
+    rng = jax.random.PRNGKey(9)
+    losses = []
+    for _ in range(6):
+        state, m = step(state, tvars, batch, rng)
+        losses.append(float(m["total"]))
+        assert np.isfinite(losses[-1])
+        assert np.isfinite(float(m["grad_norm"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 6
+
+
+def test_grad_accum_requires_divisible_batch(setup):
+    student, teacher, batch, tx, state, tvars = setup
+    step = make_train_step(student, teacher, tx, donate=False, grad_accum=3)
+    with pytest.raises(ValueError, match="must divide"):
+        step(state, tvars, batch, jax.random.PRNGKey(0))  # b=8, M=3
