@@ -125,6 +125,35 @@ def truncate_at_sep(row: np.ndarray, sep_id: int = SEP_TOKEN_ID) -> np.ndarray:
     return row[: hits[0]] if hits.size else row
 
 
+def make_caption_step(student: StudentCandidateV1, *, max_len: int = 25,
+                      beam: int = 0):
+    """The serving program: uint8 window batch → caption token rows.
+
+    ``step(variables, frames_u8)`` maps ``[B, W, H, Wd, 3]`` uint8 frames
+    through the fused CLIP preprocess and a fixed-shape greedy (or
+    ``beam``-wide) decode to ``[B, 1+max_len]`` int32 token rows. This is
+    the single program behind every serving surface — the
+    ``BatchCaptionServer`` buckets jit it per batch size, and
+    ``rtvc_tpu.export`` lowers the same function into AOT deployment
+    artifacts, so an exported program is the served program by
+    construction. Params stay a jit ARGUMENT (constant-inlining a ~254 MB
+    tree bloats the compile payload, docs/PERF.md §4).
+    """
+    def step(variables, frames_u8):
+        from .ops.preprocess import clip_preprocess
+        b, w = frames_u8.shape[:2]
+        flat = frames_u8.reshape((b * w,) + frames_u8.shape[2:])
+        proc = clip_preprocess(flat)
+        proc = proc.reshape((b, w) + proc.shape[1:])
+        if beam > 0:
+            return decode_lib.student_beam(
+                student, variables, proc, max_len=max_len, k=beam)
+        return decode_lib.student_greedy(
+            student, variables, proc, max_len=max_len)
+
+    return step
+
+
 def default_buckets(max_batch: int) -> Tuple[int, ...]:
     out = [1]
     while out[-1] < max_batch:
@@ -199,23 +228,10 @@ class BatchCaptionServer:
         self.frame_shape = tuple(frame_shape)
         self.window = int(window)
 
-        def step(variables, frames_u8):
-            # [B, W, H, Wd, 3] uint8 -> captions [B, 1+max_len] int32.
-            # Param tree stays a jit ARGUMENT (constant-inlining a ~254 MB
-            # tree bloats the compile payload, docs/PERF.md §4).
-            from .ops.preprocess import clip_preprocess
-            b, w = frames_u8.shape[:2]
-            flat = frames_u8.reshape((b * w,) + frames_u8.shape[2:])
-            proc = clip_preprocess(flat)
-            proc = proc.reshape((b, w) + proc.shape[1:])
-            if self.beam > 0:
-                return decode_lib.student_beam(
-                    self.student, variables, proc, max_len=self.max_len,
-                    k=self.beam)
-            return decode_lib.student_greedy(
-                self.student, variables, proc, max_len=self.max_len)
-
-        self._jit_step = jax.jit(step)
+        # [B, W, H, Wd, 3] uint8 -> captions [B, 1+max_len] int32; shared
+        # with rtvc_tpu.export so AOT artifacts serve the identical program.
+        self._jit_step = jax.jit(make_caption_step(
+            student, max_len=self.max_len, beam=self.beam))
 
         self._lock = threading.Condition()
         # OrderedDict preserves FIFO arrival while allowing O(1) per-stream
