@@ -968,3 +968,62 @@ def test_grad_accum_requires_divisible_batch(setup):
     step = make_train_step(student, teacher, tx, donate=False, grad_accum=3)
     with pytest.raises(ValueError, match="must divide"):
         step(state, tvars, batch, jax.random.PRNGKey(0))  # b=8, M=3
+
+
+def test_grad_accum_composes_with_dp_mesh(setup):
+    """docs/PARALLELISM.md claims accumulation composes with dp sharding:
+    the dp-sharded grad_accum=2 step must match the unsharded one (the
+    in-step reshape to [M, B/M] and the scan respect the batch sharding)."""
+    student, teacher, batch, tx, state, tvars = setup
+    step = make_train_step(student, teacher, tx, donate=False, grad_accum=2)
+    rng = jax.random.PRNGKey(11)
+    with jax.default_matmul_precision("highest"):
+        _, m_single = step(state, tvars, batch, rng)
+        mesh = make_mesh((4, 1))  # microbatch = 4 rows over dp=4
+        state_r = TrainState(params=place_params(state.params, mesh),
+                             batch_stats=replicate(state.batch_stats, mesh),
+                             opt_state=jax.device_put(state.opt_state),
+                             step=state.step)
+        new_state, m_shard = step(state_r, replicate(tvars, mesh),
+                                  shard_batch(batch, mesh), rng)
+    assert abs(float(m_single["total"]) - float(m_shard["total"])) < 1e-3
+    assert jax.tree.leaves(new_state.params)[0].sharding.is_fully_replicated
+
+
+def test_grad_accum_composes_with_replay_cache(setup):
+    """docs/PARALLELISM.md claims accumulation composes with the
+    teacher-logit replay cache: the cached top-K leaves must split with
+    the batch. Tiled-batch exactness, same scheme as
+    test_grad_accum_matches_full_batch_on_tiled_batch."""
+    vocab, t_len, k = 173, 6, 16
+    micro = synth_batch(b=2, seed=5)
+    rng = np.random.default_rng(5)
+    micro["teacher_topk_vals"] = jnp.asarray(
+        rng.normal(size=(2, t_len, k)).astype(np.float32))
+    micro["teacher_topk_idx"] = jnp.asarray(
+        rng.integers(0, vocab, size=(2, t_len, k)).astype(np.int32))
+    full = {kk: jnp.concatenate([v] * 4, axis=0) for kk, v in micro.items()}
+
+    student_nodrop = StudentCandidateV1(
+        d_model=32, n_head=4, d_ffn=64, dropout=0.0, num_decoder_layers=2,
+        vocab_size=173, max_pos_len=64, encoder_config=ENC,
+        teacher_visual_dim=32, teacher_num_tokens=2 * 17, teacher_hidden=16)
+    teacher = GITTeacher(GIT64)
+    tx = optax.sgd(1e-3)
+    state = create_train_state(student_nodrop, jax.random.PRNGKey(0),
+                               {"frames": full["frames"],
+                                "caption": full["caption"]}, tx)
+    rng_j = jax.random.PRNGKey(3)
+    step1 = make_train_step(student_nodrop, teacher, tx, donate=False,
+                            external_teacher_logits=True, cache_top_k=k)
+    stepM = make_train_step(student_nodrop, teacher, tx, donate=False,
+                            external_teacher_logits=True, cache_top_k=k,
+                            grad_accum=4)
+    s_full, m_full = step1(state, {}, full, rng_j)
+    s_acc, m_acc = stepM(state, {}, full, rng_j)
+    np.testing.assert_allclose(float(m_acc["total"]), float(m_full["total"]),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(s_acc.params),
+                    jax.tree.leaves(s_full.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
