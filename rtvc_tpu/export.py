@@ -239,30 +239,43 @@ def save_compiled(path: str, student, variables: PyTree, *, batch: int,
     """
     import jax
 
-    _write_compiled(path, student, variables, batch=batch, window=window,
-                    frame_shape=frame_shape, max_len=max_len, beam=beam)
+    want = _write_compiled(path, student, variables, batch=batch,
+                           window=window, frame_shape=frame_shape,
+                           max_len=max_len, beam=beam)
     try:
         _verify_compiled(path, variables, batch=batch, window=window,
-                         frame_shape=frame_shape, student=student,
-                         max_len=max_len, beam=beam)
+                         frame_shape=frame_shape, want=want)
         return
     except jax.errors.JaxRuntimeError as e:
         if "Buffer Definition Event" not in str(e):
             raise
     # Poisoned serialize (XLA:CPU cache-dedup bug, docstring): redo in a
-    # pristine subprocess where no cache entry has ever been loaded.
+    # pristine subprocess where no cache entry has ever been loaded. The
+    # worker leaves its own direct-execution output at <path>.want.npy so
+    # the parent can verify without recompiling the program.
     _export_in_subprocess(path, student, variables, batch=batch,
                           window=window, frame_shape=frame_shape,
                           max_len=max_len, beam=beam)
+    want_path = path + ".want.npy"
+    want = np.load(want_path)
+    os.unlink(want_path)
     _verify_compiled(path, variables, batch=batch, window=window,
-                     frame_shape=frame_shape, student=student,
-                     max_len=max_len, beam=beam)
+                     frame_shape=frame_shape, want=want)
+
+
+def _probe_input(batch: int, window: int, frame_shape: Sequence[int]):
+    """Deterministic uint8 probe batch shared by write and verify."""
+    shape = (batch, window) + tuple(frame_shape)
+    return (np.arange(int(np.prod(shape))) % 251).reshape(shape) \
+        .astype(np.uint8)
 
 
 def _write_compiled(path: str, student, variables: PyTree, *, batch: int,
                     window: int, frame_shape: Sequence[int], max_len: int,
-                    beam: int) -> None:
-    """Compile + serialize + pickle one bucket (no verification)."""
+                    beam: int) -> np.ndarray:
+    """Compile + serialize + pickle one bucket. Returns the compiled
+    program's own output on the deterministic probe input — the reference
+    the artifact is verified against (no second compile needed)."""
     import jax
     from jax.experimental import serialize_executable
 
@@ -296,24 +309,21 @@ def _write_compiled(path: str, student, variables: PyTree, *, batch: int,
                      "frame_shape": tuple(frame_shape),
                      "max_len": int(max_len), "beam": int(beam),
                      "n_devices": max(1, len(devs))}, f)
+    probe = _probe_input(batch, window, frame_shape)
+    return np.asarray(compiled(variables, probe))
 
 
 def _verify_compiled(path: str, variables: PyTree, *, batch: int,
-                     window: int, frame_shape: Sequence[int], student,
-                     max_len: int, beam: int) -> None:
-    """Execute the artifact and compare against the live jitted program."""
-    import jax
+                     window: int, frame_shape: Sequence[int],
+                     want: np.ndarray) -> None:
+    """Execute the artifact on the probe and compare against the live
+    program's output (produced by the very executable that was
+    serialized, so no re-compile here)."""
     import jax.numpy as jnp
 
-    from .serving import make_caption_step
-
     fn, _ = load_compiled(path)
-    probe = jnp.asarray(
-        (np.arange(int(np.prod((batch, window) + tuple(frame_shape))))
-         % 251).reshape((batch, window) + tuple(frame_shape)), jnp.uint8)
+    probe = jnp.asarray(_probe_input(batch, window, frame_shape))
     got = np.asarray(fn(variables, probe))
-    step = jax.jit(make_caption_step(student, max_len=max_len, beam=beam))
-    want = np.asarray(step(variables, probe))
     if not np.array_equal(got, want):
         raise RuntimeError(
             f"compiled-executable artifact {path} failed verification: "
@@ -327,14 +337,16 @@ def _subprocess_export_worker(blob_path: str, out_path: str,
     Pins the parent's platform explicitly — env-level JAX_PLATFORMS=cpu
     loses the backend election to the axon TPU plugin, so a child spawned
     from a CPU-forced test process would otherwise grab the TPU tunnel and
-    emit an artifact for the wrong backend."""
+    emit an artifact for the wrong backend. Leaves the direct-execution
+    probe output at <out_path>.want.npy for the parent's verification."""
     import jax
 
     jax.config.update("jax_platforms", platform)
     jax.config.update("jax_enable_compilation_cache", False)
     with open(blob_path, "rb") as f:
         student, variables, kwargs = pickle.load(f)
-    _write_compiled(out_path, student, variables, **kwargs)
+    want = _write_compiled(out_path, student, variables, **kwargs)
+    np.save(out_path + ".want.npy", want)
 
 
 def _export_in_subprocess(path: str, student, variables: PyTree,
@@ -411,27 +423,13 @@ def main(argv: Optional[List[str]] = None) -> None:
     a = p.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
 
-    from .config import cfg
-    from .models.student import student_from_config
     from .real_time_inference import WINDOW
+    from .serving import build_serving_student
 
-    if a.ckpt:
-        from .models.student import student_matching_checkpoint
-        student = student_matching_checkpoint(cfg, a.ckpt)
-    else:
-        student = student_from_config(cfg)
-    dummy_f = jnp.zeros((1, WINDOW, 224, 224, 3))
-    dummy_y = jnp.array([[student.cls_token_id, 5]], jnp.int32)
-    variables = jax.jit(student.init)(jax.random.PRNGKey(cfg.seed),
-                                      dummy_f, dummy_y)
-    if a.ckpt:
-        from .data.io import load_kd_student_params
-        restored = load_kd_student_params(a.ckpt)
-        variables = {**variables, "params": restored["params"]}
-        if restored.get("batch_stats"):
-            variables["batch_stats"] = restored["batch_stats"]
+    # the one shared model-load block (serving.py) — exported programs and
+    # served programs can't drift through loading semantics
+    student, variables = build_serving_student(a.ckpt)
 
     buckets = tuple(int(b) for b in a.buckets.split(","))
     platforms = tuple(a.platforms.split(",")) if a.platforms else None
@@ -441,8 +439,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     print(f"bundle: {a.out} ({len(manifest['programs'])} programs, "
           f"{manifest['n_params'] / 1e6:.1f}M params)")
     if a.compiled:
-        path = os.path.join(a.out, f"compiled_b{buckets[-1]}.jexec")
-        save_compiled(path, student, variables, batch=buckets[-1],
+        top = max(buckets)  # largest bucket regardless of CLI order
+        path = os.path.join(a.out, f"compiled_b{top}.jexec")
+        save_compiled(path, student, variables, batch=top,
                       window=WINDOW, max_len=a.max_len, beam=a.beam)
         print(f"compiled executable: {path} "
               f"(topology-locked to {jax.default_backend()})")

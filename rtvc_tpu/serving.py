@@ -419,39 +419,49 @@ def add_frontend_cli_args(p) -> None:
                    help="expected square frame edge of incoming windows")
 
 
-def server_from_frontend_args(a) -> "BatchCaptionServer":
-    """Build the student + variables (random init, or checkpoint restore
-    via the same loading path inference.py uses) and the
-    BatchCaptionServer behind a network front-end — the single model-load
-    block shared by serving_http.main and serving_grpc.main."""
+def build_serving_student(ckpt: Optional[str] = None):
+    """Student + serving variables: random init, or checkpoint restore via
+    the same loading path inference.py uses. THE single model-load block
+    for every deployment surface (HTTP/gRPC fronts via
+    server_from_frontend_args, and the AOT export CLI) — so an exported
+    program can never drift from the served one through loading semantics.
+    Returns ``(student, variables)``."""
     import jax
     import jax.numpy as jnp
 
     from .config import cfg
     from .models.student import student_from_config
     from .real_time_inference import WINDOW
-    from .tokenization import BertWordPieceTokenizer
 
-    if a.ckpt:
+    if ckpt:
         # rebuild the student with the activation the weights were trained
         # under (checkpoint sidecar meta), mirroring inference.py
         from .models.student import student_matching_checkpoint
-        student = student_matching_checkpoint(cfg, a.ckpt)
+        student = student_matching_checkpoint(cfg, ckpt)
     else:
         student = student_from_config(cfg)
     dummy_f = jnp.zeros((1, WINDOW, 224, 224, 3))
     dummy_y = jnp.array([[student.cls_token_id, 5]], jnp.int32)
     variables = jax.jit(student.init)(jax.random.PRNGKey(cfg.seed),
                                       dummy_f, dummy_y)
-    if a.ckpt:
+    if ckpt:
         # load_kd_student_params strips the distillation-only heads — the
         # same inference-loading path inference.py uses
         from .data.io import load_kd_student_params
-        restored = load_kd_student_params(a.ckpt)
+        restored = load_kd_student_params(ckpt)
         variables = {**variables, "params": restored["params"]}
         if restored.get("batch_stats"):
             variables["batch_stats"] = restored["batch_stats"]
+    return student, variables
 
+
+def server_from_frontend_args(a) -> "BatchCaptionServer":
+    """build_serving_student + the BatchCaptionServer behind a network
+    front-end — shared by serving_http.main and serving_grpc.main."""
+    from .real_time_inference import WINDOW
+    from .tokenization import BertWordPieceTokenizer
+
+    student, variables = build_serving_student(a.ckpt)
     return BatchCaptionServer(
         student, variables, BertWordPieceTokenizer(),
         max_batch=a.max_batch, max_wait_ms=a.max_wait_ms, beam=a.beam,

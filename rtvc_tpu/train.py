@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 import os
 import sys
 import time
@@ -512,7 +513,6 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
     teacher = teacher or teacher_from_config(config)
     if mesh is None:
         mesh = make_mesh(config.tpu.mesh_shape, config.tpu.mesh_axes)
-        import math
         bsz = config.train.batch_size
         dp0, tp0 = mesh.shape.get("dp", 1), mesh.shape.get("tp", 1)
         if multihost and dp0 % jax.process_count():
@@ -703,22 +703,29 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                 # dp-sharded batch without any cross-host data movement
                 from .parallel.multihost import shard_host_local_batch
                 arrays = shard_host_local_batch(arrays, mesh)
-            elif dp > 1:
+            elif dp > 1 or grad_accum > 1:
                 # A ragged tail batch must never silently change placement
                 # (replicated input → different sharding signature →
-                # recompile + a non-dp step). Trim to a dp multiple instead;
-                # prefer drop_last=True loaders so this never fires.
+                # recompile + a non-dp step) NOR hit the step's trace-time
+                # grad_accum divisibility error mid-training. Trim to a
+                # multiple of lcm(dp, grad_accum) instead; prefer
+                # drop_last=True loaders so this never fires.
+                quant = (dp * grad_accum) // math.gcd(dp, grad_accum)
                 bs = int(arrays["caption"].shape[0])
-                usable = (bs // dp) * dp
+                usable = (bs // quant) * quant
                 if usable == 0:
                     raise ValueError(
-                        f"batch of {bs} rows cannot be sharded over dp={dp}; "
-                        f"raise the batch size or shrink the mesh's dp axis")
+                        f"batch of {bs} rows cannot be split over dp={dp} "
+                        f"x grad_accum={grad_accum}; raise the batch size, "
+                        f"shrink the mesh's dp axis, or lower "
+                        f"cfg.train.grad_accum_steps")
                 if usable != bs:
                     logger.write(f"\ntrimming ragged batch {bs} -> {usable} "
-                                 f"for dp={dp} (use drop_last to avoid)\n")
+                                 f"for dp={dp}/grad_accum={grad_accum} "
+                                 f"(use drop_last to avoid)\n")
                     arrays = {k: v[:usable] for k, v in arrays.items()}
-                arrays = shard_batch(arrays, mesh)  # dp-axis placement
+                if dp > 1:
+                    arrays = shard_batch(arrays, mesh)  # dp-axis placement
             if multi_step is not None:
                 # Group key is the FULL array signature (keys, shapes,
                 # dtypes), not just the batch size: jnp.stack requires

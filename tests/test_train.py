@@ -226,10 +226,44 @@ def test_ragged_batch_trimmed_not_replicated(tmp_path):
     text = (tmp_path / "run" / "rag" / "_results_and_metrics.txt").read_text()
     assert "trimming ragged batch 6 -> 4" in text
     # a batch smaller than dp is a hard error, never a silent re-placement
-    with pytest.raises(ValueError, match="cannot be sharded over dp"):
+    with pytest.raises(ValueError, match="cannot be split over dp"):
         train(config, loader(0, 2), loader(1, 4), loader(2, 4), tok,
               run_name="rag2", student=student, teacher=teacher,
               teacher_vars=tvars, mesh=mesh, max_epochs=1)
+
+
+def test_ragged_batch_trimmed_for_grad_accum(tmp_path):
+    """A tail batch not divisible by grad_accum must be trimmed by the
+    loop (logged), never die on the step's trace-time divisibility error
+    (code-review finding, round 3)."""
+    from rtvc_tpu.config import from_dict
+    from rtvc_tpu.tokenization import BertWordPieceTokenizer
+
+    student, teacher = tiny_pair()
+    config = from_dict({
+        "logger": {"save_dir": str(tmp_path)},
+        "train": {"lr": 1e-3, "batch_size": 4, "grad_accum_steps": 2,
+                  "trainer": {"max_epochs": 1}},
+        "wandb": {"mode": "disabled"},
+    })
+    tok = BertWordPieceTokenizer()
+
+    def loader(seed, b):
+        return [synth_batch(b=b, seed=seed) | {
+            "vid-id": [f"v{i}" for i in range(b)],
+            "caption-id": list(range(b))}]
+
+    tvars = teacher.init(jax.random.PRNGKey(1),
+                         synth_batch(b=1)["frames"], synth_batch(b=1)["caption"])
+    # a 3-row tail on grad_accum=2 (dp=1) → trimmed to 2, not a crash
+    _, history = train(config, loader(0, 4) + loader(3, 3),
+                       loader(1, 4), loader(2, 4), tok,
+                       run_name="ragacc", student=student, teacher=teacher,
+                       teacher_vars=tvars, mesh=make_mesh((1, 1)),
+                       max_epochs=1)
+    assert np.isfinite(history["train_loss"][0])
+    text = (tmp_path / "run" / "ragacc" / "_results_and_metrics.txt").read_text()
+    assert "trimming ragged batch 3 -> 2" in text
 
 
 def test_checkpoint_resume_roundtrip(tmp_path, setup):
