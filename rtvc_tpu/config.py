@@ -134,6 +134,15 @@ class TrainConfig:
     # write of the full train state otherwise stalls the loop for tens of
     # seconds over a slow device link; data/io.py::AsyncCheckpointSaver).
     async_checkpointing: bool = True
+    # Preemption-safe training: on SIGTERM (what SLURM / spot-TPU
+    # reclamation sends) the train loop checkpoints the full train state
+    # to <run_dir>/ckpt_preempt at the next step boundary and exits
+    # cleanly; pass that path as train(resume_from=...) to continue.
+    # Multi-host runs coordinate the stop at the next epoch boundary
+    # (the flag is all-gathered with the epoch barrier). train.py
+    # PreemptionGuard; no-op when signals can't be installed (not the
+    # main thread).
+    checkpoint_on_preemption: bool = True
     # Gradient accumulation: M > 1 scans the full per-batch computation
     # (teacher forward/beam included) over M equal microbatches inside the
     # step and applies ONE Adam update on the averaged gradients — peak

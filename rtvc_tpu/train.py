@@ -442,6 +442,57 @@ def set_learning_rate(opt_state, lr: float):
     return opt_state
 
 
+class PreemptionGuard:
+    """SIGTERM → flag; train() checkpoints and exits cleanly.
+
+    The reference had no preemption story (Lightning would simply die with
+    the SLURM job); on preemptible/spot TPUs a reclaim notice is routine,
+    so the TPU-native loop treats it as a first-class event: the handler
+    only sets a flag, and the train loop — the sole owner of the device
+    state — saves ``ckpt_preempt`` at the next step boundary (single-host)
+    or the next epoch barrier (multi-host, where every process must agree
+    to stop before one leaves the collectives).
+
+    Installs handlers only when possible (main thread); otherwise stays a
+    no-op so library callers embedding train() in a worker thread are
+    unaffected. ``restore()`` reinstates the previous handlers.
+    """
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._flag = False
+        self._prev = {}
+        for s in (signals or (_signal.SIGTERM,)):
+            try:
+                self._prev[s] = _signal.signal(s, self._handle)
+            except ValueError:  # not the main thread
+                pass
+
+    def _handle(self, signum, frame):
+        self._flag = True
+
+    @property
+    def triggered(self) -> bool:
+        return self._flag
+
+    def restore(self) -> None:
+        import signal as _signal
+
+        for s, h in self._prev.items():
+            _signal.signal(s, h)
+        self._prev = {}
+
+
+def _any_host_triggered(local: bool) -> bool:
+    """All-gather a per-host preemption flag (multi-host epoch barrier)."""
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        np.asarray(bool(local), np.int32))
+    return bool(np.asarray(flags).max())
+
+
 def _eval_on_main(student, inference_vars, loader, tokenizer, logger, epoch,
                   split, annotations, beam_size, is_main: bool) -> float:
     """Multi-host eval: process 0 evaluates on a host-local replica of the
@@ -636,209 +687,259 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
         from .data.io import AsyncCheckpointSaver
         ckpt_saver = AsyncCheckpointSaver()
 
-    for epoch in range(epochs):
-        epoch_losses = []
-        # train_loader must be re-iterable (DeviceLoader restarts per epoch).
-        # Losses stay on device until epoch end: fetching a scalar per step
-        # would serialize each step on a host round-trip (≈27 ms over the
-        # TPU tunnel) — steps pipeline freely this way.
-        epoch_t0 = time.perf_counter()
-        n_steps = 0
-        first_dispatch_s = 0.0
-        dispatch_ms: List[float] = []
-        group: List[Dict[str, Any]] = []   # pending batches for multi_step
-        group_sig: Optional[tuple] = None
 
-        def dispatch_single(arrs: Dict[str, Any]) -> None:
-            """One train_step dispatch + the shared bookkeeping (timing,
-            first-dispatch capture, loss/step accounting) — the single
-            source of truth for every non-grouped dispatch site. On epoch
-            0 the first dispatch is the jit trace+compile (execution is
-            async) — captured so artifacts report steady-state step time
-            separately from compile."""
-            nonlocal state, n_steps, first_dispatch_s
-            t_dispatch = time.perf_counter()
-            state, m = train_step(state, teacher_vars, arrs, step_rng)
-            dispatch_s = time.perf_counter() - t_dispatch
-            if n_steps == 0:
-                first_dispatch_s = dispatch_s
-            dispatch_ms.append(dispatch_s * 1e3)
-            epoch_losses.append(m["total"])
-            n_steps += 1
-        # Cached-teacher epochs iterate through CacheReplayFeed: a producer
-        # thread reads the NEXT batch's cache entries and starts their
-        # host→device upload while the current step computes, so the hit
-        # path pays neither disk IO nor upload latency between steps.
-        feed = train_loader if teacher_cache is None else \
-            data_teacher_cache.CacheReplayFeed(
-                train_loader, teacher_cache, mesh=mesh if dp > 1 else None)
-        for batch in feed:
-            arrays = {"frames": batch["frames"], "caption": batch["caption"]}
-            if teacher_cache is not None:
-                if "teacher_topk_vals" in batch:          # prefetched hit
-                    arrays["teacher_topk_vals"] = batch["teacher_topk_vals"]
-                    arrays["teacher_topk_idx"] = batch["teacher_topk_idx"]
-                elif "teacher_logits" in batch:           # prefetched hit
-                    # fp32 both on miss and on hit: one step signature, and
-                    # bf16→f32 widening is exact so losses are bitwise-stable
-                    arrays["teacher_logits"] = batch["teacher_logits"]
-                else:                                     # miss: live teacher
-                    keys = batch["_cache_keys"]
-                    t_logits = teacher_fwd(teacher_vars, arrays["frames"],
-                                           arrays["caption"])
-                    dense = np.asarray(t_logits, np.float32)
-                    teacher_cache.put_batch(keys, dense)
-                    if teacher_cache.top_k:
-                        # replay through the SAME truncated representation a
-                        # hit would see, so miss- and hit-epoch losses use
-                        # one distribution
-                        vals, idx = teacher_cache.compress(dense)
-                        arrays["teacher_topk_vals"] = jnp.asarray(vals)
-                        arrays["teacher_topk_idx"] = jnp.asarray(idx)
-                    else:
-                        arrays["teacher_logits"] = jnp.asarray(dense)
+    guard = PreemptionGuard() \
+        if getattr(config.train, "checkpoint_on_preemption", False) else None
+    preempted = False
+    try:
+        for epoch in range(epochs):
+            epoch_losses = []
+            # train_loader must be re-iterable (DeviceLoader restarts per epoch).
+            # Losses stay on device until epoch end: fetching a scalar per step
+            # would serialize each step on a host round-trip (≈27 ms over the
+            # TPU tunnel) — steps pipeline freely this way.
+            epoch_t0 = time.perf_counter()
+            n_steps = 0
+            first_dispatch_s = 0.0
+            dispatch_ms: List[float] = []
+            group: List[Dict[str, Any]] = []   # pending batches for multi_step
+            group_sig: Optional[tuple] = None
+
+            def dispatch_single(arrs: Dict[str, Any]) -> None:
+                """One train_step dispatch + the shared bookkeeping (timing,
+                first-dispatch capture, loss/step accounting) — the single
+                source of truth for every non-grouped dispatch site. On epoch
+                0 the first dispatch is the jit trace+compile (execution is
+                async) — captured so artifacts report steady-state step time
+                separately from compile."""
+                nonlocal state, n_steps, first_dispatch_s
+                t_dispatch = time.perf_counter()
+                state, m = train_step(state, teacher_vars, arrs, step_rng)
+                dispatch_s = time.perf_counter() - t_dispatch
+                if n_steps == 0:
+                    first_dispatch_s = dispatch_s
+                dispatch_ms.append(dispatch_s * 1e3)
+                epoch_losses.append(m["total"])
+                n_steps += 1
+            # Cached-teacher epochs iterate through CacheReplayFeed: a producer
+            # thread reads the NEXT batch's cache entries and starts their
+            # host→device upload while the current step computes, so the hit
+            # path pays neither disk IO nor upload latency between steps.
+            feed = train_loader if teacher_cache is None else \
+                data_teacher_cache.CacheReplayFeed(
+                    train_loader, teacher_cache, mesh=mesh if dp > 1 else None)
+            for batch in feed:
+                if guard is not None and guard.triggered and not multihost:
+                    # single-host: stop at the step boundary; multi-host
+                    # defers to the epoch barrier below so no process
+                    # leaves the collectives early
+                    preempted = True
+                    break
+                arrays = {"frames": batch["frames"], "caption": batch["caption"]}
+                if teacher_cache is not None:
+                    if "teacher_topk_vals" in batch:          # prefetched hit
+                        arrays["teacher_topk_vals"] = batch["teacher_topk_vals"]
+                        arrays["teacher_topk_idx"] = batch["teacher_topk_idx"]
+                    elif "teacher_logits" in batch:           # prefetched hit
+                        # fp32 both on miss and on hit: one step signature, and
+                        # bf16→f32 widening is exact so losses are bitwise-stable
+                        arrays["teacher_logits"] = batch["teacher_logits"]
+                    else:                                     # miss: live teacher
+                        keys = batch["_cache_keys"]
+                        t_logits = teacher_fwd(teacher_vars, arrays["frames"],
+                                               arrays["caption"])
+                        dense = np.asarray(t_logits, np.float32)
+                        teacher_cache.put_batch(keys, dense)
+                        if teacher_cache.top_k:
+                            # replay through the SAME truncated representation a
+                            # hit would see, so miss- and hit-epoch losses use
+                            # one distribution
+                            vals, idx = teacher_cache.compress(dense)
+                            arrays["teacher_topk_vals"] = jnp.asarray(vals)
+                            arrays["teacher_topk_idx"] = jnp.asarray(idx)
+                        else:
+                            arrays["teacher_logits"] = jnp.asarray(dense)
+                if multihost:
+                    # arrays hold HOST-LOCAL rows (global_batch / process_count,
+                    # data.dataset host_slice); assemble the logically-global
+                    # dp-sharded batch without any cross-host data movement
+                    from .parallel.multihost import shard_host_local_batch
+                    arrays = shard_host_local_batch(arrays, mesh)
+                elif dp > 1 or grad_accum > 1:
+                    # A ragged tail batch must never silently change placement
+                    # (replicated input → different sharding signature →
+                    # recompile + a non-dp step) NOR hit the step's trace-time
+                    # grad_accum divisibility error mid-training. Trim to a
+                    # multiple of lcm(dp, grad_accum) instead; prefer
+                    # drop_last=True loaders so this never fires.
+                    quant = (dp * grad_accum) // math.gcd(dp, grad_accum)
+                    bs = int(arrays["caption"].shape[0])
+                    usable = (bs // quant) * quant
+                    if usable == 0:
+                        raise ValueError(
+                            f"batch of {bs} rows cannot be split over dp={dp} "
+                            f"x grad_accum={grad_accum}; raise the batch size, "
+                            f"shrink the mesh's dp axis, or lower "
+                            f"cfg.train.grad_accum_steps")
+                    if usable != bs:
+                        logger.write(f"\ntrimming ragged batch {bs} -> {usable} "
+                                     f"for dp={dp}/grad_accum={grad_accum} "
+                                     f"(use drop_last to avoid)\n")
+                        arrays = {k: v[:usable] for k, v in arrays.items()}
+                    if dp > 1:
+                        arrays = shard_batch(arrays, mesh)  # dp-axis placement
+                if multi_step is not None:
+                    # Group key is the FULL array signature (keys, shapes,
+                    # dtypes), not just the batch size: jnp.stack requires
+                    # every leaf to match, and a custom loader may vary a
+                    # non-leading dim (per-batch caption padding) or the
+                    # teacher-cache key set mid-epoch.
+                    sig = tuple(sorted(
+                        (k, tuple(v.shape), str(getattr(v, "dtype", type(v))))
+                        for k, v in arrays.items()))
+                    if group and sig != group_sig:
+                        # signature changed mid-epoch: drain the pending
+                        # group as singles in arrival order, then start a NEW
+                        # group at the new signature (a one-off odd batch must
+                        # not disable grouping for the rest of the epoch)
+                        for pending in group:
+                            dispatch_single(pending)
+                        group = []
+                    if not group:
+                        group_sig = sig
+                    group.append(arrays)
+                    if len(group) == spd:
+                        stacked = {k: jnp.stack([g[k] for g in group])
+                                   for k in group[0]}
+                        group = []
+                        t_dispatch = time.perf_counter()
+                        state, m = multi_step(state, teacher_vars, stacked,
+                                              step_rng)
+                        dispatch_s = time.perf_counter() - t_dispatch
+                        if n_steps == 0:
+                            first_dispatch_s = dispatch_s
+                        dispatch_ms.append(dispatch_s * 1e3)
+                        for i in range(spd):
+                            epoch_losses.append(m["total"][i])
+                        n_steps += spd
+                    continue
+                dispatch_single(arrays)
+            # epoch tail: fewer than steps_per_dispatch batches pending
+            for pending in group:
+                dispatch_single(pending)
+            t_fetch = time.perf_counter()
+            losses_np = [float(l) for l in epoch_losses]  # fetch forces completion
+            fetch_s = time.perf_counter() - t_fetch
+            epoch_dt = time.perf_counter() - epoch_t0
+            if n_steps:
+                timer.durations.append(epoch_dt / n_steps)
+            history.setdefault("epoch_n_steps", []).append(n_steps)
+            history.setdefault("epoch_first_dispatch_s", []).append(
+                round(first_dispatch_s, 3))
+            # per-step dispatch walls + trailing fetch: in a healthy pipelined
+            # epoch the dispatches are milliseconds and the whole device wait
+            # lands in the fetch; a fat dispatch mid-epoch is a stall (compile,
+            # upload, cache miss) worth seeing in artifacts
+            history.setdefault("epoch_dispatch_ms", []).append(
+                [round(d, 1) for d in dispatch_ms])
+            history.setdefault("epoch_fetch_s", []).append(round(fetch_s, 3))
+            mean_loss = float(np.mean(losses_np)) if losses_np else 0.0
+            history["train_loss"].append(mean_loss)
+
+            if guard is not None and multihost:
+                # all processes reach this collective every epoch, so a
+                # flag raised on ANY host stops ALL of them here together
+                preempted = _any_host_triggered(guard.triggered)
+            if preempted:
+                if config.train.trainer.enable_checkpointing and use_orbax \
+                        and is_main:
+                    if ckpt_saver is not None:
+                        ckpt_saver.wait()  # earlier epochs' pending writes
+                    save_checkpoint(
+                        os.path.join(run_dir, "ckpt_preempt"),
+                        {"params": state.params,
+                         "batch_stats": state.batch_stats,
+                         "opt_state": state.opt_state, "step": state.step},
+                        meta={"gelu_approximate":
+                              bool(config.student.gelu_approximate),
+                              "preempted": True, "epoch": epoch,
+                              "steps_into_epoch": n_steps})
+                logger.write(
+                    f"\nSIGTERM: checkpointed full train state to "
+                    f"ckpt_preempt at epoch {epoch} step {int(state.step)} "
+                    f"({n_steps} steps into the epoch); resume with "
+                    f"train(resume_from=<run_dir>/ckpt_preempt)\n")
+                history["preempted"] = True
+                break
+
+            inference_vars = {"params": state.params,
+                              "batch_stats": state.batch_stats}
             if multihost:
-                # arrays hold HOST-LOCAL rows (global_batch / process_count,
-                # data.dataset host_slice); assemble the logically-global
-                # dp-sharded batch without any cross-host data movement
-                from .parallel.multihost import shard_host_local_batch
-                arrays = shard_host_local_batch(arrays, mesh)
-            elif dp > 1 or grad_accum > 1:
-                # A ragged tail batch must never silently change placement
-                # (replicated input → different sharding signature →
-                # recompile + a non-dp step) NOR hit the step's trace-time
-                # grad_accum divisibility error mid-training. Trim to a
-                # multiple of lcm(dp, grad_accum) instead; prefer
-                # drop_last=True loaders so this never fires.
-                quant = (dp * grad_accum) // math.gcd(dp, grad_accum)
-                bs = int(arrays["caption"].shape[0])
-                usable = (bs // quant) * quant
-                if usable == 0:
-                    raise ValueError(
-                        f"batch of {bs} rows cannot be split over dp={dp} "
-                        f"x grad_accum={grad_accum}; raise the batch size, "
-                        f"shrink the mesh's dp axis, or lower "
-                        f"cfg.train.grad_accum_steps")
-                if usable != bs:
-                    logger.write(f"\ntrimming ragged batch {bs} -> {usable} "
-                                 f"for dp={dp}/grad_accum={grad_accum} "
-                                 f"(use drop_last to avoid)\n")
-                    arrays = {k: v[:usable] for k, v in arrays.items()}
-                if dp > 1:
-                    arrays = shard_batch(arrays, mesh)  # dp-axis placement
-            if multi_step is not None:
-                # Group key is the FULL array signature (keys, shapes,
-                # dtypes), not just the batch size: jnp.stack requires
-                # every leaf to match, and a custom loader may vary a
-                # non-leading dim (per-batch caption padding) or the
-                # teacher-cache key set mid-epoch.
-                sig = tuple(sorted(
-                    (k, tuple(v.shape), str(getattr(v, "dtype", type(v))))
-                    for k, v in arrays.items()))
-                if group and sig != group_sig:
-                    # signature changed mid-epoch: drain the pending
-                    # group as singles in arrival order, then start a NEW
-                    # group at the new signature (a one-off odd batch must
-                    # not disable grouping for the rest of the epoch)
-                    for pending in group:
-                        dispatch_single(pending)
-                    group = []
-                if not group:
-                    group_sig = sig
-                group.append(arrays)
-                if len(group) == spd:
-                    stacked = {k: jnp.stack([g[k] for g in group])
-                               for k in group[0]}
-                    group = []
-                    t_dispatch = time.perf_counter()
-                    state, m = multi_step(state, teacher_vars, stacked,
-                                          step_rng)
-                    dispatch_s = time.perf_counter() - t_dispatch
-                    if n_steps == 0:
-                        first_dispatch_s = dispatch_s
-                    dispatch_ms.append(dispatch_s * 1e3)
-                    for i in range(spd):
-                        epoch_losses.append(m["total"][i])
-                    n_steps += spd
-                continue
-            dispatch_single(arrays)
-        # epoch tail: fewer than steps_per_dispatch batches pending
-        for pending in group:
-            dispatch_single(pending)
-        t_fetch = time.perf_counter()
-        losses_np = [float(l) for l in epoch_losses]  # fetch forces completion
-        fetch_s = time.perf_counter() - t_fetch
-        epoch_dt = time.perf_counter() - epoch_t0
-        if n_steps:
-            timer.durations.append(epoch_dt / n_steps)
-        history.setdefault("epoch_n_steps", []).append(n_steps)
-        history.setdefault("epoch_first_dispatch_s", []).append(
-            round(first_dispatch_s, 3))
-        # per-step dispatch walls + trailing fetch: in a healthy pipelined
-        # epoch the dispatches are milliseconds and the whole device wait
-        # lands in the fetch; a fat dispatch mid-epoch is a stall (compile,
-        # upload, cache miss) worth seeing in artifacts
-        history.setdefault("epoch_dispatch_ms", []).append(
-            [round(d, 1) for d in dispatch_ms])
-        history.setdefault("epoch_fetch_s", []).append(round(fetch_s, 3))
-        mean_loss = float(np.mean(losses_np)) if losses_np else 0.0
-        history["train_loss"].append(mean_loss)
-
-        inference_vars = {"params": state.params,
-                          "batch_stats": state.batch_stats}
-        if multihost:
-            # Process 0 evaluates the FULL val set on a host-local replica
-            # of the (replicated) params — eval decode is latency-bound, not
-            # worth a cross-host program — then broadcasts the monitored
-            # value so every host's plateau scheduler stays in lockstep.
-            val_bleu = _eval_on_main(
-                student, inference_vars, val_loader, tokenizer, logger,
-                epoch, "Validation", annotations,
-                config.train.eval_beam_size, is_main)
-        else:
-            val_bleu, _ = evaluate(student, inference_vars, val_loader,
-                                   tokenizer, logger, epoch, "Validation",
-                                   annotations=annotations,
-                                   beam_size=config.train.eval_beam_size)
-        history["val_loss"].append(val_bleu)
-        new_lr = sched.update(val_bleu)  # quirk preserved: min-mode on BLEU
-        state = state.replace(opt_state=set_lr(state.opt_state, new_lr))
-
-        logger.log_scalars(epoch, {"train_loss": mean_loss,
-                                   "val_loss": val_bleu, "lr": new_lr,
-                                   **timer.summary()})
-        if config.train.trainer.enable_checkpointing and use_orbax \
-                and is_main:
-            tree = {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-                "opt_state": state.opt_state,
-                "step": state.step,
-            }
-            path = os.path.join(run_dir, f"ckpt_{epoch:02d}")
-            prune = functools.partial(_prune_checkpoints, run_dir,
-                                      config.callback.save_top_k)
-            # recorded so loaders can rebuild the student with the SAME
-            # activation these weights were trained under (student.py::
-            # student_matching_checkpoint)
-            meta = {"gelu_approximate":
-                    bool(config.student.gelu_approximate)}
-            if ckpt_saver is not None:
-                if getattr(config.tpu, "donate_train_state", False):
-                    # donation invalidates these buffers at the next
-                    # epoch's first step — snapshot to host SYNCHRONOUSLY
-                    # and only background the disk write
-                    tree = jax.device_get(tree)
-                # background fetch+write overlaps the next epoch; without
-                # donation jax arrays are immutable so the snapshot is
-                # consistent
-                ckpt_saver.save(path, tree, on_done=prune, meta=meta)
+                # Process 0 evaluates the FULL val set on a host-local replica
+                # of the (replicated) params — eval decode is latency-bound, not
+                # worth a cross-host program — then broadcasts the monitored
+                # value so every host's plateau scheduler stays in lockstep.
+                val_bleu = _eval_on_main(
+                    student, inference_vars, val_loader, tokenizer, logger,
+                    epoch, "Validation", annotations,
+                    config.train.eval_beam_size, is_main)
             else:
-                save_checkpoint(path, tree, meta=meta)
-                prune()
+                val_bleu, _ = evaluate(student, inference_vars, val_loader,
+                                       tokenizer, logger, epoch, "Validation",
+                                       annotations=annotations,
+                                       beam_size=config.train.eval_beam_size)
+            history["val_loss"].append(val_bleu)
+            new_lr = sched.update(val_bleu)  # quirk preserved: min-mode on BLEU
+            state = state.replace(opt_state=set_lr(state.opt_state, new_lr))
+
+            logger.log_scalars(epoch, {"train_loss": mean_loss,
+                                       "val_loss": val_bleu, "lr": new_lr,
+                                       **timer.summary()})
+            if config.train.trainer.enable_checkpointing and use_orbax \
+                    and is_main:
+                tree = {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "step": state.step,
+                }
+                path = os.path.join(run_dir, f"ckpt_{epoch:02d}")
+                prune = functools.partial(_prune_checkpoints, run_dir,
+                                          config.callback.save_top_k)
+                # recorded so loaders can rebuild the student with the SAME
+                # activation these weights were trained under (student.py::
+                # student_matching_checkpoint)
+                meta = {"gelu_approximate":
+                        bool(config.student.gelu_approximate)}
+                if ckpt_saver is not None:
+                    if getattr(config.tpu, "donate_train_state", False):
+                        # donation invalidates these buffers at the next
+                        # epoch's first step — snapshot to host SYNCHRONOUSLY
+                        # and only background the disk write
+                        tree = jax.device_get(tree)
+                    # background fetch+write overlaps the next epoch; without
+                    # donation jax arrays are immutable so the snapshot is
+                    # consistent
+                    ckpt_saver.save(path, tree, on_done=prune, meta=meta)
+                else:
+                    save_checkpoint(path, tree, meta=meta)
+                    prune()
+    finally:
+        if guard is not None:
+            guard.restore()
 
     if ckpt_saver is not None:
         ckpt_saver.wait()  # flush the last epoch's background write
+    if preempted:
+        # exit fast: the reclaim grace window is for the checkpoint, not
+        # a test-set decode. val/test metrics come from the resumed run.
+        history["test_loss"] = None
+        history["timing"] = timer.summary()
+        history["epoch_step_ms"] = [d * 1e3 for d in timer.durations]
+        if teacher_cache is not None:
+            history["teacher_cache"] = teacher_cache.stats()
+        logger.finish()
+        return state, history
     final_vars = {"params": state.params, "batch_stats": state.batch_stats}
     if multihost:
         test_bleu = _eval_on_main(student, final_vars, test_loader, tokenizer,

@@ -266,6 +266,72 @@ def test_ragged_batch_trimmed_for_grad_accum(tmp_path):
     assert "trimming ragged batch 3 -> 2" in text
 
 
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-epoch → full train state saved to ckpt_preempt, clean
+    early return (no test eval), handlers restored; resuming from the
+    checkpoint continues the step counter. The reference had no
+    preemption story (SURVEY §5 failure handling: none)."""
+    import os as _os
+    import signal as _signal
+
+    from rtvc_tpu.config import from_dict
+    from rtvc_tpu.data.io import checkpoint_meta
+    from rtvc_tpu.tokenization import BertWordPieceTokenizer
+
+    student, teacher = tiny_pair()
+    config = from_dict({
+        "logger": {"save_dir": str(tmp_path)},
+        "train": {"lr": 1e-3, "batch_size": 4,
+                  "trainer": {"max_epochs": 3}},
+        "wandb": {"mode": "disabled"},
+    })
+    tok = BertWordPieceTokenizer()
+
+    def eval_loader(seed):
+        return [synth_batch(b=4, seed=seed) | {
+            "vid-id": [f"v{i}" for i in range(4)],
+            "caption-id": list(range(4))}]
+
+    class SigTermLoader:
+        """Delivers SIGTERM to our own process before yielding batch 2 —
+        simulating a reclaim notice arriving mid-epoch."""
+
+        def __iter__(self):
+            for i in range(4):
+                if i == 2:
+                    _os.kill(_os.getpid(), _signal.SIGTERM)
+                yield synth_batch(b=4, seed=i) | {
+                    "vid-id": [f"v{j}" for j in range(4)],
+                    "caption-id": list(range(4))}
+
+    tvars = teacher.init(jax.random.PRNGKey(1),
+                         synth_batch(b=1)["frames"], synth_batch(b=1)["caption"])
+    prev_handler = _signal.getsignal(_signal.SIGTERM)
+    state, history = train(config, SigTermLoader(), eval_loader(1),
+                           eval_loader(2), tok, run_name="pre",
+                           student=student, teacher=teacher,
+                           teacher_vars=tvars, max_epochs=3)
+    assert history["preempted"] is True
+    assert history["test_loss"] is None          # no test decode on reclaim
+    assert int(state.step) == 2                  # batches 0,1 ran; 2 did not
+    assert _signal.getsignal(_signal.SIGTERM) is prev_handler
+    ckpt = str(tmp_path / "run" / "pre" / "ckpt_preempt")
+    meta = checkpoint_meta(ckpt)
+    assert meta["preempted"] is True and meta["steps_into_epoch"] == 2
+    text = (tmp_path / "run" / "pre" / "_results_and_metrics.txt").read_text()
+    assert "SIGTERM: checkpointed" in text
+
+    # resume: step counter continues from the preempted state
+    state2, hist2 = train(config, eval_loader(3), eval_loader(1),
+                          eval_loader(2), tok, run_name="pre_resume",
+                          student=student, teacher=teacher,
+                          teacher_vars=tvars, max_epochs=1,
+                          resume_from=ckpt)
+    assert not hist2.get("preempted")
+    assert int(state2.step) == 3                 # 2 resumed + 1 new batch
+    assert np.isfinite(hist2["train_loss"][0])
+
+
 def test_checkpoint_resume_roundtrip(tmp_path, setup):
     """Full train-state save/restore → training continues identically."""
     from rtvc_tpu.data.io import restore_checkpoint, save_checkpoint
