@@ -134,6 +134,16 @@ class TrainConfig:
     # write of the full train state otherwise stalls the loop for tens of
     # seconds over a slow device link; data/io.py::AsyncCheckpointSaver).
     async_checkpointing: bool = True
+    # LR schedule: "plateau" is the reference's ACTIVE scheduler (the
+    # default here). The reference ALSO constructed a
+    # OneCycleLR(max_lr=0.01, total_steps=epochs*steps) that its
+    # configure_optimizers never returned (model.py:1110-1113 — dead
+    # code); "onecycle" makes it a working option, implemented as an
+    # in-graph optax cosine-onecycle schedule over the step counter
+    # (torch-default pct_start 0.3, div_factor 25, final_div 1e4).
+    # Requires a sized train loader (total_steps must be static).
+    scheduler: str = "plateau"
+    onecycle_max_lr: float = 0.01  # reference model.py:1111
     # Preemption-safe training: on SIGTERM (what SLURM / spot-TPU
     # reclamation sends) the train loop checkpoints the full train state
     # to <run_dir>/ckpt_preempt at the next step boundary and exits

@@ -593,7 +593,29 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                              factor=config.train.plateau_factor,
                              patience=config.train.plateau_patience,
                              min_lr=config.train.plateau_min_lr)
-    tx = optax.inject_hyperparams(optax.adam)(learning_rate=config.train.lr)
+    use_onecycle = getattr(config.train, "scheduler", "plateau") == "onecycle"
+    if use_onecycle:
+        # the reference's dead OneCycleLR (model.py:1110-1113) as a working
+        # option: an in-graph schedule over the optimizer step counter —
+        # no host-side lr splicing, so opt_state never changes aval.
+        # NOTE: checkpoints are scheduler-specific (the opt_state pytree
+        # differs from the plateau/inject_hyperparams one); resume with
+        # the same cfg.train.scheduler.
+        n_epochs = max_epochs or config.train.trainer.max_epochs
+        try:
+            steps_per_epoch = len(train_loader)
+        except TypeError:
+            raise ValueError(
+                "cfg.train.scheduler='onecycle' needs a sized train_loader "
+                "(len()) to fix total_steps; use 'plateau' with unsized "
+                "loaders")
+        onecycle = optax.cosine_onecycle_schedule(
+            transition_steps=max(1, n_epochs * steps_per_epoch),
+            peak_value=config.train.onecycle_max_lr)
+        tx = optax.adam(learning_rate=onecycle)
+    else:
+        tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=config.train.lr)
 
     state = create_train_state(student, rng, example, tx)
     if resume_from is not None:
@@ -889,8 +911,14 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                                        annotations=annotations,
                                        beam_size=config.train.eval_beam_size)
             history["val_loss"].append(val_bleu)
-            new_lr = sched.update(val_bleu)  # quirk preserved: min-mode on BLEU
-            state = state.replace(opt_state=set_lr(state.opt_state, new_lr))
+            if use_onecycle:
+                # in-graph schedule — nothing to splice; report current lr
+                new_lr = float(onecycle(int(state.step)))
+            else:
+                # quirk preserved: min-mode plateau on BLEU
+                new_lr = sched.update(val_bleu)
+                state = state.replace(
+                    opt_state=set_lr(state.opt_state, new_lr))
 
             logger.log_scalars(epoch, {"train_loss": mean_loss,
                                        "val_loss": val_bleu, "lr": new_lr,
