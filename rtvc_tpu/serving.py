@@ -118,6 +118,56 @@ class _Request:
         self.stream_id = stream_id
 
 
+def compress_window(window: np.ndarray, *, fmt: str = ".jpg",
+                    quality: int = 90) -> List[bytes]:
+    """[window, H, W, 3] uint8 -> one JPEG/PNG blob per frame (client side).
+
+    A raw 6x224x224x3 window is ~0.9 MB on the wire (the measured transport
+    cost of the HTTP/gRPC fronts, docs/PERF.md §5a); JPEG at quality 90 is
+    typically 10-30x smaller and real cameras emit JPEG (MJPEG) natively.
+    ``fmt=".png"`` is lossless — compressed and raw submissions then yield
+    bit-identical captions (pinned by tests). Decode side:
+    ``decode_compressed_frames``.
+    """
+    import cv2
+    window = np.ascontiguousarray(window, np.uint8)
+    if window.ndim != 4 or window.shape[-1] != 3:
+        raise ValueError(f"expected [window, H, W, 3], got {window.shape}")
+    params = ([int(cv2.IMWRITE_JPEG_QUALITY), int(quality)]
+              if fmt in (".jpg", ".jpeg") else [])
+    blobs = []
+    for frame in window:
+        ok, buf = cv2.imencode(fmt, frame, params)
+        if not ok:
+            raise ValueError(f"cv2.imencode({fmt!r}) failed")
+        blobs.append(buf.tobytes())
+    return blobs
+
+
+def decode_compressed_frames(blobs: Sequence[bytes]) -> np.ndarray:
+    """JPEG/PNG per-frame blobs -> [window, H, W, 3] uint8 (server side).
+
+    Channel order is whatever cv2.imdecode produces (BGR) — identical to
+    the cv2.VideoCapture frames the raw path carries, so the downstream
+    preprocess (reference dataloader.py:14-32's BGR->RGB flip) sees the
+    same convention either way.
+    """
+    import cv2
+    if not blobs:
+        raise ValueError("no frames in compressed window")
+    frames = []
+    for i, blob in enumerate(blobs):
+        img = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError(f"frame {i}: not a decodable JPEG/PNG image")
+        frames.append(img)
+    shapes = {f.shape for f in frames}
+    if len(shapes) != 1:
+        raise ValueError(
+            f"frames in one window disagree on shape: {sorted(shapes)}")
+    return np.stack(frames)
+
+
 def truncate_at_sep(row: np.ndarray, sep_id: int = SEP_TOKEN_ID) -> np.ndarray:
     """Tokens up to (excluding) the first SEP — the part of a greedy row
     that is invariant to batch composition (see module docstring)."""

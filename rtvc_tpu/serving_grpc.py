@@ -39,7 +39,8 @@ from typing import Any, Dict, Iterable, Iterator, Optional
 import numpy as np
 
 from .proto import caption_pb2 as pb
-from .serving import BatchCaptionServer
+from .serving import (BatchCaptionServer, compress_window,
+                      decode_compressed_frames)
 
 try:  # pragma: no cover - exercised implicitly by every test
     import grpc
@@ -65,6 +66,12 @@ def _require_grpc() -> None:
 def _decode_window(req: "pb.CaptionRequest",
                    expect_window: int) -> np.ndarray:
     """CaptionRequest -> [window, H, W, 3] uint8 array (validated)."""
+    if req.encoded_frames:  # compressed path: one JPEG/PNG blob per frame
+        if req.window and int(req.window) != len(req.encoded_frames):
+            raise ValueError(
+                f"window={int(req.window)} but {len(req.encoded_frames)} "
+                f"encoded frames")
+        return decode_compressed_frames(req.encoded_frames)
     window = int(req.window) or expect_window
     shape = (window, int(req.height), int(req.width), 3)
     if any(s <= 0 for s in shape):
@@ -78,11 +85,24 @@ def _decode_window(req: "pb.CaptionRequest",
 
 
 def encode_window(window: np.ndarray, *, stream_id: str = "",
-                  timeout_s: float = 0.0, seq: int = 0) -> "pb.CaptionRequest":
-    """[window, H, W, 3] uint8 array -> CaptionRequest (client helper)."""
+                  timeout_s: float = 0.0, seq: int = 0,
+                  compress: Optional[str] = None,
+                  quality: int = 90) -> "pb.CaptionRequest":
+    """[window, H, W, 3] uint8 array -> CaptionRequest (client helper).
+
+    ``compress=".jpg"`` (lossy, ~10-30x smaller at q90) or ``".png"``
+    (lossless — caption-exact vs raw, pinned by tests) sends one encoded
+    blob per frame instead of raw pixels.
+    """
     window = np.ascontiguousarray(window, np.uint8)
     if window.ndim != 4 or window.shape[-1] != 3:
         raise ValueError(f"expected [window, H, W, 3], got {window.shape}")
+    if compress is not None:
+        return pb.CaptionRequest(
+            encoded_frames=compress_window(window, fmt=compress,
+                                           quality=quality),
+            window=window.shape[0], stream_id=stream_id,
+            timeout_s=timeout_s, seq=seq)
     return pb.CaptionRequest(
         frames=window.tobytes(), window=window.shape[0],
         height=window.shape[1], width=window.shape[2],
@@ -278,10 +298,12 @@ class CaptionClient:
             response_deserializer=pb.StatsReply.FromString)
 
     def caption(self, window: np.ndarray, *, stream_id: str = "",
-                timeout_s: float = DEFAULT_TIMEOUT_S,
-                seq: int = 0) -> "pb.CaptionReply":
+                timeout_s: float = DEFAULT_TIMEOUT_S, seq: int = 0,
+                compress: Optional[str] = None,
+                quality: int = 90) -> "pb.CaptionReply":
         req = encode_window(window, stream_id=stream_id,
-                            timeout_s=timeout_s, seq=seq)
+                            timeout_s=timeout_s, seq=seq,
+                            compress=compress, quality=quality)
         return self._caption(req, timeout=timeout_s + 5.0)
 
     def caption_stream(self, windows: Iterable["pb.CaptionRequest"],

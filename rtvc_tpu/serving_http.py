@@ -15,12 +15,18 @@ in-flight request, each parked on its ``CaptionFuture`` — the actual
 batching/coalescing stays in the server's single scheduler thread, so
 the concurrency model is unchanged from the in-process API.
 
-Request formats (both carry raw uint8 RGB/BGR bytes, C-order):
+Request formats:
 
-- ``application/octet-stream`` body = ``window*H*W*3`` bytes with header
-  ``X-Frames-Shape: <window>,<H>,<W>,3``; optional ``X-Stream-Id``.
+- ``application/octet-stream`` body = raw ``window*H*W*3`` uint8 bytes
+  (C-order) with header ``X-Frames-Shape: <window>,<H>,<W>,3``; optional
+  ``X-Stream-Id``.
+- ``application/octet-stream`` + ``X-Frames-Encoding: image`` body =
+  per-frame JPEG/PNG blobs, each prefixed by a 4-byte big-endian length
+  (what MJPEG cameras emit — ~10-30x smaller at JPEG q90; PNG is
+  lossless and caption-exact vs raw). No ``X-Frames-Shape`` needed.
 - ``application/json`` body = ``{"frames_b64": ..., "shape": [w,h,wd,3],
-  "stream_id": ..., "timeout_s": ...}``.
+  "stream_id": ..., "timeout_s": ...}`` — or
+  ``{"encoded_frames_b64": [<b64 JPEG/PNG>, ...], ...}``.
 
 Responses: 200 ``{"caption", "latency_ms"}``; 409 if a newer window from
 the same stream superseded this one; 400/408/503 for bad input / timeout
@@ -37,7 +43,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
-from .serving import BatchCaptionServer
+from .serving import BatchCaptionServer, decode_compressed_frames
 
 DEFAULT_TIMEOUT_S = 60.0
 MAX_BODY_BYTES = 64 * 1024 * 1024
@@ -133,23 +139,35 @@ class CaptionHTTPFrontend:
                 if ctype == "application/json":
                     try:
                         payload = json.loads(raw)
+                        timeout_s = float(payload.get("timeout_s", timeout_s))
+                        if "encoded_frames_b64" in payload:
+                            blobs = [base64.b64decode(b)
+                                     for b in payload["encoded_frames_b64"]]
+                            window = _decode_blobs(blobs)
+                            return (window, payload.get("stream_id"),
+                                    timeout_s)
                         shape = tuple(int(s) for s in payload["shape"])
                         buf = base64.b64decode(payload["frames_b64"])
-                        timeout_s = float(payload.get("timeout_s", timeout_s))
                     except (KeyError, ValueError, TypeError) as e:
                         raise _BadRequest(f"bad JSON caption request: {e}")
                     stream_id = payload.get("stream_id")
                 else:
+                    stream_id = self.headers.get("X-Stream-Id")
+                    if (self.headers.get("X-Frames-Encoding") or ""
+                        ).lower() in ("image", "jpeg", "jpg", "png"):
+                        window = _decode_blobs(_split_length_prefixed(raw))
+                        return window, stream_id, timeout_s
                     hdr = self.headers.get("X-Frames-Shape")
                     if not hdr:
                         raise _BadRequest(
-                            "octet-stream needs X-Frames-Shape: w,h,wd,3")
+                            "octet-stream needs X-Frames-Shape: w,h,wd,3 "
+                            "(or X-Frames-Encoding: image with "
+                            "length-prefixed JPEG/PNG frames)")
                     try:
                         shape = tuple(int(s) for s in hdr.split(","))
                     except ValueError:
                         raise _BadRequest(f"bad X-Frames-Shape {hdr!r}")
                     buf = raw
-                    stream_id = self.headers.get("X-Stream-Id")
                 if any(s <= 0 for s in shape):
                     raise _BadRequest(f"non-positive dim in shape {shape}")
                 expected = int(np.prod(shape))
@@ -190,6 +208,35 @@ class CaptionHTTPFrontend:
 
 class _BadRequest(ValueError):
     pass
+
+
+def _split_length_prefixed(raw: bytes) -> list:
+    """Body of [4-byte BE length][blob]... -> list of blobs."""
+    blobs, off = [], 0
+    while off < len(raw):
+        if off + 4 > len(raw):
+            raise _BadRequest("truncated length prefix in encoded frames")
+        n = int.from_bytes(raw[off:off + 4], "big")
+        off += 4
+        if n <= 0 or off + n > len(raw):
+            raise _BadRequest(
+                f"encoded frame length {n} overruns body at offset {off}")
+        blobs.append(raw[off:off + n])
+        off += n
+    return blobs
+
+
+def _decode_blobs(blobs: list) -> np.ndarray:
+    try:
+        return decode_compressed_frames(blobs)
+    except ValueError as e:
+        raise _BadRequest(str(e))
+
+
+def pack_encoded_frames(blobs: list) -> bytes:
+    """Client helper: JPEG/PNG blobs (``serving.compress_window``) -> the
+    length-prefixed octet-stream body for ``X-Frames-Encoding: image``."""
+    return b"".join(len(b).to_bytes(4, "big") + b for b in blobs)
 
 
 def main(argv: Optional[list] = None) -> None:

@@ -39,6 +39,15 @@ def main() -> None:
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=4.0)
     p.add_argument("--frame-size", type=int, default=224)
+    p.add_argument("--compress", default=None, choices=[".jpg", ".png"],
+                   help="send encoded_frames instead of raw bytes on the "
+                        "gRPC arm (serving.compress_window)")
+    p.add_argument("--quality", type=int, default=90)
+    p.add_argument("--content", default="noise", choices=["noise", "smooth"],
+                   help="'smooth' = coarse noise upsampled 16x (camera-like "
+                        "spatial correlation; JPEG-representative). 'noise' "
+                        "= iid pixels (JPEG worst case; the recorded raw-arm "
+                        "numbers in docs/PERF.md used this)")
     a = p.parse_args()
 
     print(f"backend={jax.default_backend()} streams={a.streams} "
@@ -57,9 +66,28 @@ def main() -> None:
     # distinct window per (stream, slot): the tunnel dedupes identical
     # dispatches, and distinct pixels keep the decode honest
     rng = np.random.default_rng(0)
-    wins = [[rng.integers(0, 255, size=(WINDOW, a.frame_size, a.frame_size,
-                                        3), dtype=np.uint8)
-             for _ in range(a.windows)] for _ in range(a.streams)]
+
+    def make_window() -> np.ndarray:
+        if a.content == "smooth":
+            coarse = rng.integers(0, 255, size=(WINDOW, a.frame_size // 16,
+                                                a.frame_size // 16, 3))
+            return np.repeat(np.repeat(coarse, 16, axis=1), 16,
+                             axis=2).astype(np.uint8)
+        return rng.integers(0, 255, size=(WINDOW, a.frame_size,
+                                          a.frame_size, 3), dtype=np.uint8)
+
+    wins = [[make_window() for _ in range(a.windows)]
+            for _ in range(a.streams)]
+
+    if a.compress:
+        from rtvc_tpu.serving import compress_window
+        sizes = [sum(len(b) for b in compress_window(
+                     w, fmt=a.compress, quality=a.quality))
+                 for w in wins[0]]
+        raw = wins[0][0].nbytes
+        print(f"compress={a.compress} q{a.quality} content={a.content}: "
+              f"{np.mean(sizes) / 1e3:.1f} KB/window vs raw {raw / 1e3:.1f} "
+              f"KB ({raw / np.mean(sizes):.1f}x smaller)", flush=True)
 
     total = a.streams * a.windows
 
@@ -88,7 +116,8 @@ def main() -> None:
 
         def stream_worker(sid: int) -> None:
             with CaptionClient(target) as client:
-                reqs = (encode_window(w, stream_id=f"s{sid}w{j}", seq=j)
+                reqs = (encode_window(w, stream_id=f"s{sid}w{j}", seq=j,
+                                      compress=a.compress, quality=a.quality)
                         for j, w in enumerate(wins[sid]))
                 for reply in client.caption_stream(reqs):
                     with lock:

@@ -229,3 +229,52 @@ def test_concurrent_stream_rpcs_coalesce():
             server.batch_sizes, default=1) > 1
     finally:
         server.close()
+
+
+def test_unary_compressed_png_matches_raw(stack):
+    """encoded_frames with PNG (lossless) must caption identically to the
+    raw-bytes request for the same window."""
+    pytest.importorskip("cv2")
+    fe, server, client = stack
+    win = _window(33)
+    expect = server.submit(win).result(timeout=120)
+    reply = client.caption(win, timeout_s=120.0, seq=7, compress=".png")
+    assert reply.caption == expect
+    assert reply.seq == 7
+
+
+def test_unary_compressed_window_count_mismatch(stack):
+    pytest.importorskip("cv2")
+    from rtvc_tpu.proto import caption_pb2 as pb
+    from rtvc_tpu.serving import compress_window
+    fe, server, client = stack
+    blobs = compress_window(_window(34), fmt=".png")
+    req = pb.CaptionRequest(encoded_frames=blobs, window=WINDOW + 1)
+    with pytest.raises(grpc.RpcError) as ei:
+        client._caption(req, timeout=30)
+    assert ei.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+
+def test_unary_compressed_garbage_blob(stack):
+    pytest.importorskip("cv2")
+    from rtvc_tpu.proto import caption_pb2 as pb
+    fe, server, client = stack
+    req = pb.CaptionRequest(encoded_frames=[b"not an image"] * WINDOW)
+    with pytest.raises(grpc.RpcError) as ei:
+        client._caption(req, timeout=30)
+    assert ei.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+
+def test_stream_compressed_windows(stack):
+    """Compressed windows ride CaptionStream identically: distinct
+    stream_ids, PNG-exact captions, seq echo."""
+    pytest.importorskip("cv2")
+    fe, server, client = stack
+    wins = [_window(s) for s in (40, 41)]
+    expect = [server.submit(w).result(timeout=120) for w in wins]
+    reqs = [encode_window(w, stream_id=f"jcam{i}", seq=200 + i,
+                          compress=".png")
+            for i, w in enumerate(wins)]
+    replies = list(client.caption_stream(reqs))
+    assert [r.seq for r in replies] == [200, 201]
+    assert [r.caption for r in replies] == expect

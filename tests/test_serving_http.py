@@ -186,3 +186,58 @@ def test_unknown_path_404(frontend):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(fe, "/v2/nope")
     assert ei.value.code == 404
+
+
+def test_compressed_png_octet_stream_matches_raw(frontend):
+    """PNG is lossless: the compressed body must yield the EXACT caption
+    of the raw-bytes submission of the same window."""
+    pytest.importorskip("cv2")
+    from rtvc_tpu.serving import compress_window
+    from rtvc_tpu.serving_http import pack_encoded_frames
+    fe, server = frontend
+    win = _window(21)
+    expected = server.submit(win).result(timeout=120)
+    body = pack_encoded_frames(compress_window(win, fmt=".png"))
+    status, payload = _post(fe, "/v1/caption", body, {
+        "Content-Type": "application/octet-stream",
+        "X-Frames-Encoding": "image",
+    })
+    assert status == 200
+    assert payload["caption"] == expected
+
+
+def test_compressed_jpeg_json_serves_and_shrinks(frontend):
+    """JPEG (lossy) must serve a caption; on a smooth window the payload
+    is much smaller than raw (the feature's point: MJPEG-sized uploads)."""
+    cv2 = pytest.importorskip("cv2")
+    from rtvc_tpu.serving import compress_window
+    fe, _ = frontend
+    # smooth gradient compresses well (random noise wouldn't)
+    col = np.linspace(0, 255, FRAME[1], dtype=np.uint8)
+    win = np.broadcast_to(col[None, None, :, None],
+                          (WINDOW,) + FRAME).copy()
+    blobs = compress_window(win, fmt=".jpg", quality=90)
+    assert sum(len(b) for b in blobs) < win.nbytes // 10
+    body = json.dumps({
+        "encoded_frames_b64": [base64.b64encode(b).decode() for b in blobs],
+    }).encode()
+    status, payload = _post(fe, "/v1/caption", body,
+                            {"Content-Type": "application/json"})
+    assert status == 200
+    assert isinstance(payload["caption"], str)
+
+
+@pytest.mark.parametrize("body,why", [
+    (b"\x00\x00\x00\x05abc", "length prefix overruns body"),
+    (b"\x00\x00\x00\x03abc", "blob is not a decodable image"),
+    (b"", "empty body"),
+])
+def test_compressed_bad_bodies_return_400(frontend, body, why):
+    pytest.importorskip("cv2")
+    fe, _ = frontend
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(fe, "/v1/caption", body, {
+            "Content-Type": "application/octet-stream",
+            "X-Frames-Encoding": "image",
+        })
+    assert ei.value.code == 400, why
