@@ -144,22 +144,42 @@ def compress_window(window: np.ndarray, *, fmt: str = ".jpg",
     return blobs
 
 
-def decode_compressed_frames(blobs: Sequence[bytes]) -> np.ndarray:
+def decode_compressed_frames(
+        blobs: Sequence[bytes],
+        expect_shape: Optional[Tuple[int, ...]] = None) -> np.ndarray:
     """JPEG/PNG per-frame blobs -> [window, H, W, 3] uint8 (server side).
 
     Channel order is whatever cv2.imdecode produces (BGR) — identical to
     the cv2.VideoCapture frames the raw path carries, so the downstream
     preprocess (reference dataloader.py:14-32's BGR->RGB flip) sees the
     same convention either way.
+
+    ``expect_shape`` — the server's ``(window, H, W, 3)`` — makes this
+    decompression-bomb safe: a tiny constant-color PNG can decode at a
+    >1000:1 ratio, so a body well under the transport caps could
+    otherwise materialize tens of GB. With the expected shape known we
+    reject a wrong blob count before decoding anything and a wrong frame
+    shape after decoding ONE frame, never the whole window.
     """
     import cv2
     if not blobs:
         raise ValueError("no frames in compressed window")
+    expect_frame = None
+    if expect_shape is not None:
+        if len(blobs) != expect_shape[0]:
+            raise ValueError(
+                f"{len(blobs)} encoded frames but server window is "
+                f"{expect_shape[0]}")
+        expect_frame = tuple(expect_shape[1:])
     frames = []
     for i, blob in enumerate(blobs):
         img = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
         if img is None:
             raise ValueError(f"frame {i}: not a decodable JPEG/PNG image")
+        if expect_frame is not None and img.shape != expect_frame:
+            raise ValueError(
+                f"frame {i} decodes to {img.shape}, server expects "
+                f"{expect_frame}")
         frames.append(img)
     shapes = {f.shape for f in frames}
     if len(shapes) != 1:

@@ -64,15 +64,20 @@ def _require_grpc() -> None:
 
 
 def _decode_window(req: "pb.CaptionRequest",
-                   expect_window: int) -> np.ndarray:
-    """CaptionRequest -> [window, H, W, 3] uint8 array (validated)."""
+                   expect_shape: tuple) -> np.ndarray:
+    """CaptionRequest -> [window, H, W, 3] uint8 array (validated).
+
+    ``expect_shape`` is the server's ``(window, H, W, 3)``; the compressed
+    path forwards it so a decompression-bomb blob is rejected after ONE
+    frame decode (see serving.decode_compressed_frames)."""
     if req.encoded_frames:  # compressed path: one JPEG/PNG blob per frame
         if req.window and int(req.window) != len(req.encoded_frames):
             raise ValueError(
                 f"window={int(req.window)} but {len(req.encoded_frames)} "
                 f"encoded frames")
-        return decode_compressed_frames(req.encoded_frames)
-    window = int(req.window) or expect_window
+        return decode_compressed_frames(req.encoded_frames,
+                                        expect_shape=expect_shape)
+    window = int(req.window) or expect_shape[0]
     shape = (window, int(req.height), int(req.width), 3)
     if any(s <= 0 for s in shape):
         raise ValueError(f"non-positive dim in frame shape {shape}")
@@ -167,7 +172,8 @@ class CaptionGRPCFrontend:
     def _caption(self, req: "pb.CaptionRequest", context: Any
                  ) -> "pb.CaptionReply":
         try:
-            window = _decode_window(req, self.server.window)
+            window = _decode_window(
+                req, (self.server.window,) + self.server.frame_shape)
         except ValueError as e:
             context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
         try:
@@ -207,7 +213,8 @@ class CaptionGRPCFrontend:
                 for req in request_iterator:
                     seq = int(req.seq)
                     try:
-                        window = _decode_window(req, self.server.window)
+                        window = _decode_window(
+                req, (self.server.window,) + self.server.frame_shape)
                         fut = self.server.submit(
                             window, stream_id=req.stream_id or default_sid)
                     except (ValueError, RuntimeError) as e:

@@ -136,6 +136,8 @@ class CaptionHTTPFrontend:
                 raw = self.rfile.read(length)
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0]
                 timeout_s = DEFAULT_TIMEOUT_S
+                expect = ((frontend.server.window,)
+                          + frontend.server.frame_shape)
                 if ctype == "application/json":
                     try:
                         payload = json.loads(raw)
@@ -143,11 +145,13 @@ class CaptionHTTPFrontend:
                         if "encoded_frames_b64" in payload:
                             blobs = [base64.b64decode(b)
                                      for b in payload["encoded_frames_b64"]]
-                            window = _decode_blobs(blobs)
+                            window = _decode_blobs(blobs, expect)
                             return (window, payload.get("stream_id"),
                                     timeout_s)
                         shape = tuple(int(s) for s in payload["shape"])
                         buf = base64.b64decode(payload["frames_b64"])
+                    except _BadRequest:
+                        raise  # already a precise message — don't re-wrap
                     except (KeyError, ValueError, TypeError) as e:
                         raise _BadRequest(f"bad JSON caption request: {e}")
                     stream_id = payload.get("stream_id")
@@ -155,7 +159,8 @@ class CaptionHTTPFrontend:
                     stream_id = self.headers.get("X-Stream-Id")
                     if (self.headers.get("X-Frames-Encoding") or ""
                         ).lower() in ("image", "jpeg", "jpg", "png"):
-                        window = _decode_blobs(_split_length_prefixed(raw))
+                        window = _decode_blobs(_split_length_prefixed(raw),
+                                               expect)
                         return window, stream_id, timeout_s
                     hdr = self.headers.get("X-Frames-Shape")
                     if not hdr:
@@ -218,7 +223,9 @@ def _split_length_prefixed(raw: bytes) -> list:
             raise _BadRequest("truncated length prefix in encoded frames")
         n = int.from_bytes(raw[off:off + 4], "big")
         off += 4
-        if n <= 0 or off + n > len(raw):
+        if n == 0:
+            raise _BadRequest(f"zero-length encoded frame at offset {off}")
+        if off + n > len(raw):
             raise _BadRequest(
                 f"encoded frame length {n} overruns body at offset {off}")
         blobs.append(raw[off:off + n])
@@ -226,9 +233,12 @@ def _split_length_prefixed(raw: bytes) -> list:
     return blobs
 
 
-def _decode_blobs(blobs: list) -> np.ndarray:
+def _decode_blobs(blobs: list,
+                  expect_shape: Optional[tuple] = None) -> np.ndarray:
     try:
-        return decode_compressed_frames(blobs)
+        return decode_compressed_frames(blobs, expect_shape=expect_shape)
+    except _BadRequest:
+        raise
     except ValueError as e:
         raise _BadRequest(str(e))
 

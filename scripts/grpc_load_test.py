@@ -69,10 +69,12 @@ def main() -> None:
 
     def make_window() -> np.ndarray:
         if a.content == "smooth":
-            coarse = rng.integers(0, 255, size=(WINDOW, a.frame_size // 16,
-                                                a.frame_size // 16, 3))
-            return np.repeat(np.repeat(coarse, 16, axis=1), 16,
-                             axis=2).astype(np.uint8)
+            # ceil so the upsampled window covers frame_size, then crop
+            # back — any --frame-size works, not just multiples of 16
+            edge = -(-a.frame_size // 16)
+            coarse = rng.integers(0, 255, size=(WINDOW, edge, edge, 3))
+            up = np.repeat(np.repeat(coarse, 16, axis=1), 16, axis=2)
+            return up[:, :a.frame_size, :a.frame_size].astype(np.uint8)
         return rng.integers(0, 255, size=(WINDOW, a.frame_size,
                                           a.frame_size, 3), dtype=np.uint8)
 

@@ -248,3 +248,27 @@ def test_error_propagates_to_future(served_student):
             fut.result(timeout=60)
     finally:
         srv.close()
+
+
+def test_decode_compressed_rejects_bomb_before_full_decode():
+    """A constant-color PNG compresses >1000:1, so a tiny blob could
+    otherwise materialize GBs; with the server's expected shape passed in,
+    decode must abort on the FIRST wrong-shaped frame (ADVICE r3)."""
+    import cv2
+
+    from rtvc_tpu.serving import compress_window, decode_compressed_frames
+
+    big = np.zeros((2048, 2048, 3), np.uint8)  # ~12 MB decoded, ~KB encoded
+    ok, buf = cv2.imencode(".png", big)
+    assert ok and len(buf) < 50_000
+    bomb = [buf.tobytes()] * 3
+    with pytest.raises(ValueError, match="decodes to"):
+        decode_compressed_frames(bomb, expect_shape=(3, 64, 64, 3))
+    # blob-count mismatch is rejected before any decode happens
+    with pytest.raises(ValueError, match="server window"):
+        decode_compressed_frames(bomb[:2], expect_shape=(3, 2048, 2048, 3))
+    # the happy path is unchanged by the check
+    win = np.arange(3 * 64 * 64 * 3, dtype=np.uint8).reshape(3, 64, 64, 3)
+    out = decode_compressed_frames(compress_window(win, fmt=".png"),
+                                   expect_shape=(3, 64, 64, 3))
+    np.testing.assert_array_equal(out, win)

@@ -278,3 +278,22 @@ def test_stream_compressed_windows(stack):
     replies = list(client.caption_stream(reqs))
     assert [r.seq for r in replies] == [200, 201]
     assert [r.caption for r in replies] == expect
+
+
+def test_unary_compressed_bomb_rejected_with_shape_message(stack):
+    """A PNG decoding to a huge constant frame (decompression bomb) must
+    fail INVALID_ARGUMENT after one frame decode, naming the shapes
+    (ADVICE r3: the shape gate now runs inside decode, not after stacking
+    the whole window)."""
+    cv2 = pytest.importorskip("cv2")
+    import numpy as _np
+
+    from rtvc_tpu.proto import caption_pb2 as pb
+    fe, server, client = stack
+    ok, buf = cv2.imencode(".png", _np.zeros((2048, 2048, 3), _np.uint8))
+    assert ok
+    req = pb.CaptionRequest(encoded_frames=[buf.tobytes()] * WINDOW)
+    with pytest.raises(grpc.RpcError) as ei:
+        client._caption(req, timeout=30)
+    assert ei.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    assert "decodes to" in ei.value.details()

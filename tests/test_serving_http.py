@@ -241,3 +241,49 @@ def test_compressed_bad_bodies_return_400(frontend, body, why):
             "X-Frames-Encoding": "image",
         })
     assert ei.value.code == 400, why
+
+
+def _http_error_message(err: urllib.error.HTTPError) -> str:
+    return json.loads(err.read())["error"]
+
+
+def test_compressed_wrong_frame_size_400_with_precise_message(frontend):
+    """A blob decoding to a different H,W than the server's frame_shape is
+    a 400 whose message names the shapes — the bomb guard (ADVICE r3) and
+    the unwrapped-_BadRequest fix in one: the JSON path must NOT re-wrap
+    it as 'bad JSON caption request'."""
+    pytest.importorskip("cv2")
+    from rtvc_tpu.serving import compress_window
+    from rtvc_tpu.serving_http import pack_encoded_frames
+    fe, _ = frontend
+    big = np.zeros((WINDOW, 512, 512, 3), np.uint8)  # server expects 64x64
+    blobs = compress_window(big, fmt=".png")
+    # octet-stream path
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(fe, "/v1/caption", pack_encoded_frames(blobs), {
+            "Content-Type": "application/octet-stream",
+            "X-Frames-Encoding": "image",
+        })
+    assert ei.value.code == 400
+    assert "decodes to" in _http_error_message(ei.value)
+    # JSON path: same precise message, no 'bad JSON caption request' wrap
+    body = json.dumps({
+        "encoded_frames_b64": [base64.b64encode(b).decode() for b in blobs],
+    }).encode()
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(fe, "/v1/caption", body,
+              {"Content-Type": "application/json"})
+    assert ei.value.code == 400
+    msg = _http_error_message(ei.value)
+    assert "decodes to" in msg and "bad JSON caption request" not in msg
+
+
+def test_zero_length_encoded_frame_message(frontend):
+    fe, _ = frontend
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(fe, "/v1/caption", b"\x00\x00\x00\x00", {
+            "Content-Type": "application/octet-stream",
+            "X-Frames-Encoding": "image",
+        })
+    assert ei.value.code == 400
+    assert "zero-length encoded frame" in _http_error_message(ei.value)
