@@ -126,6 +126,16 @@ class TrainConfig:
     # K=128, replayed as a renormalized truncated distribution (approximate;
     # data/teacher_cache.py). Use when the device link is upload-bound.
     teacher_cache_top_k: int = 0
+    # Beam-KD target cache dir ('' = disabled): same replay treatment for
+    # the teacher's beam-search KD path (loss 5 / kd_source=
+    # 'beam_consensus', reference model.py:762-793). The beam never sees
+    # the ground-truth caption, so entries key on the vid alone; beam
+    # hyperparameters are baked into the entry filenames
+    # (data/teacher_cache.py::TeacherBeamCache).
+    teacher_beam_cache_dir: str = ""
+    # 0 = cache full-vocab consensus rows (exact replay); K > 0 = top-K
+    # truncation like teacher_cache_top_k (~240x smaller, approximate).
+    teacher_beam_cache_top_k: int = 0
     # 0 = greedy eval (the reference's validation path, model.py:1006);
     # > 0 = evaluate with the student's k-beam search instead (the
     # reference implemented beam search but never evaluated with it).

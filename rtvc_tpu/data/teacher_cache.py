@@ -132,6 +132,143 @@ class TeacherLogitsCache:
         return {"hits": self.hits, "misses": self.misses}
 
 
+class TeacherBeamCache:
+    """Disk cache for the teacher's beam-search KD targets (VERDICT r3 #1).
+
+    The second KD-target path — beam-search teacher captions with
+    beam-consensus logit extraction (reference model.py:762-793) — depends
+    ONLY on the video (the beam never sees the ground-truth caption), so
+    its outputs are even more cacheable than the forced logits: the key is
+    the vid_id alone. One entry stores the beam ``predictions`` row
+    ([max_steps] int32 — loss 5's teacher tokens) and, when
+    ``store_consensus``, the per-word beam-consensus full-vocab logits
+    ([S, V] f32, or the top-K (value, index) pair — same trade-off as
+    :class:`TeacherLogitsCache`).
+
+    Beam hyperparameters are part of the FILENAME (like top_k): replaying
+    beams searched under a different beam_size/max_steps/length_penalty
+    would silently change the KD distribution, so a config change MISSES
+    and recomputes.
+    """
+
+    def __init__(self, cache_dir: str, max_bytes: Optional[int] = None,
+                 top_k: int = 0, *, beam_size: int = 4, max_steps: int = 15,
+                 length_penalty: float = 0.6, store_consensus: bool = True):
+        self.cache_dir = cache_dir
+        self.max_bytes = max_bytes
+        self.top_k = int(top_k)
+        self.beam_size = int(beam_size)
+        self.max_steps = int(max_steps)
+        self.length_penalty = float(length_penalty)
+        self.store_consensus = bool(store_consensus)
+        os.makedirs(cache_dir, exist_ok=True)
+        self.hits = 0
+        self.misses = 0
+
+    def _path(self, key: str) -> str:
+        lp = f"{self.length_penalty:g}".replace(".", "p").replace("-", "m")
+        tag = (f".beam{self.beam_size}x{self.max_steps}lp{lp}"
+               + (f".top{self.top_k}" if self.top_k else "")
+               + ("" if self.store_consensus else ".toks"))
+        return os.path.join(self.cache_dir, _sanitize(key) + tag + ".npz")
+
+    @staticmethod
+    def key(vid_id) -> str:
+        return str(vid_id)
+
+    def get_batch(self, keys: Sequence[str]) -> Optional[Dict[str, np.ndarray]]:
+        """If EVERY key hits: dict with ``predictions`` [B, max_steps] and,
+        when storing consensus targets, ``kd`` [B, S, V] f32 (or
+        ``kd_vals``/``kd_idx`` [B, S, K] in top-k mode). Partial batches
+        return None and recompute whole — one step signature, no gather."""
+        preds: List[np.ndarray] = []
+        kd: List[np.ndarray] = []
+        kd_idx: List[np.ndarray] = []
+        for key in keys:
+            path = self._path(key)
+            if not os.path.exists(path):
+                self.misses += len(keys)
+                return None
+            with np.load(path) as z:
+                preds.append(z["predictions"])
+                if self.store_consensus:
+                    if self.top_k:
+                        kd.append(z["kd_vals"])
+                        kd_idx.append(z["kd_idx"])
+                    else:
+                        kd.append(z["kd"])
+        self.hits += len(keys)
+        for key in keys:  # touch for LRU recency
+            try:
+                os.utime(self._path(key), None)
+            except OSError:
+                pass
+        out = {"predictions": np.stack(preds)}
+        if self.store_consensus:
+            if self.top_k:
+                out["kd_vals"] = np.stack(kd)
+                out["kd_idx"] = np.stack(kd_idx)
+            else:
+                out["kd"] = np.stack(kd)
+        return out
+
+    def compress(self, kd_logits: np.ndarray):
+        """Dense [..., V] → (top-k values, indices); shared truncation for
+        the miss and hit paths (see TeacherLogitsCache.compress)."""
+        kd_logits = np.asarray(kd_logits, dtype=np.float32)
+        k = min(self.top_k, kd_logits.shape[-1])
+        idx = np.argpartition(kd_logits, -k, axis=-1)[..., -k:]
+        vals = np.take_along_axis(kd_logits, idx, axis=-1)
+        return vals.astype(np.float32), idx.astype(np.int32)
+
+    def put_batch(self, keys: Sequence[str], predictions,
+                  kd_logits=None) -> None:
+        predictions = np.asarray(predictions, dtype=np.int32)
+        if self.store_consensus:
+            if kd_logits is None:
+                raise ValueError(
+                    "store_consensus cache needs kd_logits in put_batch")
+            kd_logits = np.asarray(kd_logits, dtype=np.float32)  # bf16→f32
+        for i, key in enumerate(keys):
+            if not self.store_consensus:
+                np.savez(self._path(key), predictions=predictions[i])
+            elif self.top_k:
+                vals, idx = self.compress(kd_logits[i])
+                np.savez(self._path(key), predictions=predictions[i],
+                         kd_vals=vals, kd_idx=idx)
+            else:
+                np.savez(self._path(key), predictions=predictions[i],
+                         kd=kd_logits[i])
+        _evict_lru(self.cache_dir, self.max_bytes)
+
+    def stats(self) -> Dict[str, int]:
+        return {"hits": self.hits, "misses": self.misses}
+
+
+def _evict_lru(cache_dir: str, max_bytes: Optional[int]) -> None:
+    if max_bytes is None:
+        return
+    entries = []
+    total = 0
+    for fn in os.listdir(cache_dir):
+        path = os.path.join(cache_dir, fn)
+        try:
+            st = os.stat(path)
+        except OSError:
+            continue
+        entries.append((st.st_mtime, st.st_size, path))
+        total += st.st_size
+    entries.sort()  # oldest first
+    for _, size, path in entries:
+        if total <= max_bytes:
+            break
+        try:
+            os.remove(path)
+            total -= size
+        except OSError:
+            pass
+
+
 class CacheReplayFeed:
     """Background prefetcher for cached-teacher training epochs.
 
@@ -147,21 +284,31 @@ class CacheReplayFeed:
 
     Yields the loader's batch dicts augmented with:
 
-    - ``_cache_keys``: per-row cache keys (always present);
+    - ``_cache_keys``: per-row cache keys (when a forced-logit cache is
+      attached);
     - on a full-vocab hit: ``teacher_logits`` (device, f32);
     - on a top-K hit: ``teacher_topk_vals`` / ``teacher_topk_idx`` (device)
       — the ~40 KB/sample pair; the dense tensor is rebuilt INSIDE the
       jitted train step (train.py), so it only ever exists in HBM.
+
+    With a ``beam_cache`` (:class:`TeacherBeamCache`) attached, also:
+
+    - ``_beam_cache_keys``: per-row vid-only keys (always present);
+    - on a hit: ``teacher_beam_predictions`` (device int32) and — when the
+      cache stores consensus targets — ``teacher_kd_logits`` (f32) or the
+      ``teacher_kd_vals``/``teacher_kd_idx`` top-K pair.
 
     On a miss nothing is added; the consumer runs the live teacher (the
     device is busy with the current step anyway — epoch 1 is compute-bound,
     not IO-bound).
     """
 
-    def __init__(self, loader, cache: "TeacherLogitsCache", mesh=None,
-                 depth: int = 2):
+    def __init__(self, loader, cache: Optional["TeacherLogitsCache"] = None,
+                 mesh=None, depth: int = 2,
+                 beam_cache: Optional["TeacherBeamCache"] = None):
         self.loader = loader
         self.cache = cache
+        self.beam_cache = beam_cache
         self.mesh = mesh
         self.depth = depth
 
@@ -205,21 +352,43 @@ class CacheReplayFeed:
         def producer():
             try:
                 for batch in self.loader:
-                    if "vid-id" not in batch or "caption-id" not in batch:
-                        raise ValueError("teacher_cache needs 'vid-id' and "
-                                         "'caption-id' in each batch")
-                    keys = [self.cache.key(v, c) for v, c in
-                            zip(batch["vid-id"], batch["caption-id"])]
                     out = dict(batch)
-                    out["_cache_keys"] = keys
-                    cached = self.cache.get_batch(keys)
-                    if cached is not None:
-                        if self.cache.top_k:
-                            vals, idx = cached
-                            out["teacher_topk_vals"] = self._put(vals)
-                            out["teacher_topk_idx"] = self._put(idx)
-                        else:
-                            out["teacher_logits"] = self._put(cached)
+                    if self.cache is not None:
+                        if "vid-id" not in batch or "caption-id" not in batch:
+                            raise ValueError(
+                                "teacher_cache needs 'vid-id' and "
+                                "'caption-id' in each batch")
+                        keys = [self.cache.key(v, c) for v, c in
+                                zip(batch["vid-id"], batch["caption-id"])]
+                        out["_cache_keys"] = keys
+                        cached = self.cache.get_batch(keys)
+                        if cached is not None:
+                            if self.cache.top_k:
+                                vals, idx = cached
+                                out["teacher_topk_vals"] = self._put(vals)
+                                out["teacher_topk_idx"] = self._put(idx)
+                            else:
+                                out["teacher_logits"] = self._put(cached)
+                    if self.beam_cache is not None:
+                        if "vid-id" not in batch:
+                            raise ValueError(
+                                "teacher_beam_cache needs 'vid-id' in each "
+                                "batch")
+                        bkeys = [self.beam_cache.key(v)
+                                 for v in batch["vid-id"]]
+                        out["_beam_cache_keys"] = bkeys
+                        bhit = self.beam_cache.get_batch(bkeys)
+                        if bhit is not None:
+                            out["teacher_beam_predictions"] = self._put(
+                                bhit["predictions"])
+                            if "kd_vals" in bhit:
+                                out["teacher_kd_vals"] = self._put(
+                                    bhit["kd_vals"])
+                                out["teacher_kd_idx"] = self._put(
+                                    bhit["kd_idx"])
+                            elif "kd" in bhit:
+                                out["teacher_kd_logits"] = self._put(
+                                    bhit["kd"])
                     if not put_q(out):
                         return
             except BaseException as e:  # surfaced on the consumer side

@@ -155,6 +155,8 @@ def make_train_step(student: StudentCandidateV1, teacher: GITTeacher,
                     kd_max_steps: int = 15, kd_length_penalty: float = 0.6,
                     external_teacher_logits: bool = False,
                     cache_top_k: int = 0,
+                    external_teacher_beam: bool = False,
+                    beam_cache_top_k: int = 0,
                     steps_per_dispatch: int = 1,
                     grad_accum: int = 1):
     """Build the jitted distillation train step.
@@ -200,12 +202,21 @@ def make_train_step(student: StudentCandidateV1, teacher: GITTeacher,
     # intermediate-activation loss wants the forced pass's byproducts
     need_forced = (weights.kd_source == "teacher_forced" or need_fmap
                    or need_visual or need_decoder)
-    if external_teacher_logits and (need_fmap or need_visual or need_decoder
-                                    or need_beam):
+    if external_teacher_logits and (need_fmap or need_visual or need_decoder):
         raise ValueError(
             "external_teacher_logits (teacher-output caching) supports only "
-            "the kl+ce teacher-forced path; intermediate-activation and "
-            "beam-KD losses need the live teacher in the step")
+            "the kl+ce teacher-forced path; intermediate-activation losses "
+            "need the live teacher forward's taps in the step")
+    if external_teacher_logits and need_beam and not external_teacher_beam:
+        raise ValueError(
+            "beam-KD losses with a forced-logit cache also need the beam "
+            "cache (external_teacher_beam=True / "
+            "cfg.train.teacher_beam_cache_dir) — the beam targets are "
+            "cacheable too (they depend only on the video)")
+    if external_teacher_beam and not need_beam:
+        raise ValueError(
+            "external_teacher_beam set but no loss consumes beam targets "
+            "(weights.ce_teacher == 0 and kd_source != 'beam_consensus')")
     taps = TEACHER_TAP_BLOCKS if need_fmap else ()
     eos = 102  # SEP doubles as teacher pad (reference model.py:487)
 
@@ -240,11 +251,32 @@ def make_train_step(student: StudentCandidateV1, teacher: GITTeacher,
 
         teacher_tokens = kd_logits = kd_valid = None
         if need_beam:
-            beam = decode_lib.teacher_beam(
-                teacher, teacher_vars, frames, beam_size=kd_beam_size,
-                max_steps=kd_max_steps, length_penalty=kd_length_penalty)
             t_len = captions.shape[1]
-            preds = jax.lax.stop_gradient(beam.predictions)  # [B, max_steps]
+            kd_all = None
+            if external_teacher_beam:
+                # beam targets replayed from the TeacherBeamCache
+                # (data/teacher_cache.py) — the beam search depends only on
+                # the video, so epoch-2+ steps skip it entirely. preds and
+                # the consensus rows are the cached copies of exactly what
+                # the live branch below computes; the n_words/valid/slice
+                # derivations run identically on them.
+                preds = jax.lax.stop_gradient(
+                    batch["teacher_beam_predictions"])
+                if weights.kd_source == "beam_consensus":
+                    if beam_cache_top_k:
+                        from .data.teacher_cache import densify_topk
+                        kd_all = densify_topk(batch["teacher_kd_vals"],
+                                              batch["teacher_kd_idx"],
+                                              teacher.config.vocab_size)
+                    else:
+                        kd_all = batch["teacher_kd_logits"]
+                    kd_all = jax.lax.stop_gradient(kd_all)
+            else:
+                beam = decode_lib.teacher_beam(
+                    teacher, teacher_vars, frames, beam_size=kd_beam_size,
+                    max_steps=kd_max_steps,
+                    length_penalty=kd_length_penalty)
+                preds = jax.lax.stop_gradient(beam.predictions)
             if weights.ce_teacher != 0.0:
                 # loss 5: teacher tokens truncated / SEP-padded to the
                 # student's caption length (reference model.py:946-961)
@@ -259,8 +291,13 @@ def make_train_step(student: StudentCandidateV1, teacher: GITTeacher,
                 has_eos = jnp.any(words == eos, axis=1)
                 first_eos = jnp.argmax(words == eos, axis=1)
                 n_words = jnp.where(has_eos, first_eos, words.shape[1])
-                kd_all, valid_all = decode_lib.teacher_kd_targets(
-                    beam, n_words.astype(jnp.int32))
+                if kd_all is None:
+                    kd_all, valid_all = decode_lib.teacher_kd_targets(
+                        beam, n_words.astype(jnp.int32))
+                else:
+                    steps = kd_all.shape[1]
+                    n = jnp.minimum(n_words.astype(jnp.int32), steps)
+                    valid_all = jnp.arange(steps)[None, :] < n[:, None]
                 s = min(t_len, kd_all.shape[1])
                 kd_logits = jax.lax.stop_gradient(kd_all[:, :s])
                 kd_valid = valid_all[:, :s]
@@ -524,7 +561,8 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
           mesh=None, max_epochs: Optional[int] = None,
           use_orbax: bool = True,
           resume_from: Optional[str] = None,
-          teacher_cache=None
+          teacher_cache=None,
+          teacher_beam_cache=None
           ) -> Tuple[TrainState, Dict[str, Any]]:
     """Full distillation run (reference train.py:42-157).
 
@@ -537,7 +575,15 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
     per (video, caption) pair and replayed from disk on later epochs —
     bitwise-equal losses, with the teacher forward (the step's dominant
     FLOPs) removed from steady-state epochs. Only valid with the default
-    kl+ce loss combination."""
+    kl+ce loss combination.
+
+    ``teacher_beam_cache``: a ``data.teacher_cache.TeacherBeamCache`` (or a
+    cache-dir string). Same replay treatment for the beam-KD target path
+    (loss 5 / ``kd_source='beam_consensus'``, reference model.py:762-793):
+    the teacher's beam search depends only on the video, so its
+    predictions + beam-consensus logits are computed once per vid and
+    replayed — the 465.5 ms/step beam search (docs/PERF.md §1) leaves the
+    steady-state epochs entirely. Requires beam-KD losses to be active."""
     # Multi-host: this process is one of N controllers over a global mesh
     # (train.main --multihost → parallel/multihost.py initialize_distributed
     # ran before any JAX call). Process 0 owns logging/checkpoints/eval;
@@ -670,15 +716,61 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
         from .data.teacher_cache import TeacherLogitsCache
         teacher_cache = TeacherLogitsCache(
             teacher_cache, top_k=config.train.teacher_cache_top_k)
+    kd_beam = (config.teacher.beam_size, config.teacher.max_steps,
+               config.teacher.length_penalty)
+    need_beam_targets = (loss_weights.ce_teacher != 0.0
+                         or loss_weights.kd_source == "beam_consensus")
+    if isinstance(teacher_beam_cache, str):
+        from .data.teacher_cache import TeacherBeamCache
+        teacher_beam_cache = TeacherBeamCache(
+            teacher_beam_cache,
+            top_k=getattr(config.train, "teacher_beam_cache_top_k", 0),
+            beam_size=kd_beam[0], max_steps=kd_beam[1],
+            length_penalty=kd_beam[2],
+            store_consensus=loss_weights.kd_source == "beam_consensus")
+    if teacher_beam_cache is not None and not need_beam_targets:
+        raise ValueError(
+            "teacher_beam_cache set but no beam-KD loss is active "
+            "(loss_weights.ce_teacher == 0 and kd_source != "
+            "'beam_consensus')")
+    if (teacher_beam_cache is not None
+            and loss_weights.kd_source == "beam_consensus"
+            and not teacher_beam_cache.store_consensus):
+        raise ValueError(
+            "kd_source='beam_consensus' needs a TeacherBeamCache with "
+            "store_consensus=True (this one stores predictions only)")
     grad_accum = max(1, int(getattr(config.train, "grad_accum_steps", 1)))
+    step_cache_kwargs = dict(
+        external_teacher_logits=teacher_cache is not None,
+        cache_top_k=teacher_cache.top_k if teacher_cache is not None else 0,
+        external_teacher_beam=teacher_beam_cache is not None,
+        beam_cache_top_k=teacher_beam_cache.top_k
+        if teacher_beam_cache is not None else 0)
     train_step = make_train_step(
         student, teacher, tx, loss_weights,
         donate=config.tpu.donate_train_state,
-        external_teacher_logits=teacher_cache is not None,
-        cache_top_k=teacher_cache.top_k if teacher_cache is not None else 0,
-        grad_accum=grad_accum)
+        kd_beam_size=kd_beam[0], kd_max_steps=kd_beam[1],
+        kd_length_penalty=kd_beam[2],
+        grad_accum=grad_accum, **step_cache_kwargs)
     teacher_fwd = jax.jit(lambda tv, f, c: teacher.apply(tv, f, c)) \
         if teacher_cache is not None else None
+    teacher_beam_fwd = None
+    if teacher_beam_cache is not None:
+        # the miss path's live beam program: predictions + (optionally) the
+        # FULL consensus logit rows [B, S, V] — the step re-derives
+        # n_words/valid/slices from them exactly as the live branch would
+        def _beam_targets(tv, frames):
+            out = decode_lib.teacher_beam(
+                teacher, tv, frames, beam_size=kd_beam[0],
+                max_steps=kd_beam[1], length_penalty=kd_beam[2])
+            if teacher_beam_cache.store_consensus:
+                steps = out.logits.shape[0]
+                kd_all, _ = decode_lib.teacher_kd_targets(
+                    out, jnp.full((out.predictions.shape[0],), steps,
+                                  jnp.int32))
+                return out.predictions, kd_all
+            return out.predictions, None
+        teacher_beam_fwd = jax.jit(_beam_targets)
     timer = StepTimer("train_step")
     epochs = max_epochs or config.train.trainer.max_epochs
     history: Dict[str, Any] = {"train_loss": [], "val_loss": []}
@@ -699,10 +791,10 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
         multi_step = make_train_step(
             student, teacher, tx, loss_weights,
             donate=config.tpu.donate_train_state,
-            external_teacher_logits=teacher_cache is not None,
-            cache_top_k=teacher_cache.top_k if teacher_cache is not None
-            else 0,
-            steps_per_dispatch=spd, grad_accum=grad_accum)
+            kd_beam_size=kd_beam[0], kd_max_steps=kd_beam[1],
+            kd_length_penalty=kd_beam[2],
+            steps_per_dispatch=spd, grad_accum=grad_accum,
+            **step_cache_kwargs)
 
     ckpt_saver = None
     if getattr(config.train, "async_checkpointing", False):
@@ -747,9 +839,12 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
             # thread reads the NEXT batch's cache entries and starts their
             # host→device upload while the current step computes, so the hit
             # path pays neither disk IO nor upload latency between steps.
-            feed = train_loader if teacher_cache is None else \
-                data_teacher_cache.CacheReplayFeed(
-                    train_loader, teacher_cache, mesh=mesh if dp > 1 else None)
+            feed = train_loader
+            if teacher_cache is not None or teacher_beam_cache is not None:
+                feed = data_teacher_cache.CacheReplayFeed(
+                    train_loader, teacher_cache,
+                    mesh=mesh if dp > 1 else None,
+                    beam_cache=teacher_beam_cache)
             for batch in feed:
                 if guard is not None and guard.triggered and not multihost:
                     # single-host: stop at the step boundary; multi-host
@@ -781,6 +876,34 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                             arrays["teacher_topk_idx"] = jnp.asarray(idx)
                         else:
                             arrays["teacher_logits"] = jnp.asarray(dense)
+                if teacher_beam_cache is not None:
+                    if "teacher_beam_predictions" in batch:  # prefetched hit
+                        arrays["teacher_beam_predictions"] = \
+                            batch["teacher_beam_predictions"]
+                        for k in ("teacher_kd_logits", "teacher_kd_vals",
+                                  "teacher_kd_idx"):
+                            if k in batch:
+                                arrays[k] = batch[k]
+                    else:                                     # miss: live beam
+                        bkeys = batch["_beam_cache_keys"]
+                        preds, kd_all = teacher_beam_fwd(teacher_vars,
+                                                         arrays["frames"])
+                        preds = np.asarray(preds, np.int32)
+                        if teacher_beam_cache.store_consensus:
+                            dense = np.asarray(kd_all, np.float32)
+                            teacher_beam_cache.put_batch(bkeys, preds, dense)
+                            if teacher_beam_cache.top_k:
+                                # same truncated distribution on miss and hit
+                                vals, idx = teacher_beam_cache.compress(dense)
+                                arrays["teacher_kd_vals"] = jnp.asarray(vals)
+                                arrays["teacher_kd_idx"] = jnp.asarray(idx)
+                            else:
+                                arrays["teacher_kd_logits"] = \
+                                    jnp.asarray(dense)
+                        else:
+                            teacher_beam_cache.put_batch(bkeys, preds)
+                        arrays["teacher_beam_predictions"] = \
+                            jnp.asarray(preds)
                 if multihost:
                     # arrays hold HOST-LOCAL rows (global_batch / process_count,
                     # data.dataset host_slice); assemble the logically-global
@@ -966,6 +1089,8 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
         history["epoch_step_ms"] = [d * 1e3 for d in timer.durations]
         if teacher_cache is not None:
             history["teacher_cache"] = teacher_cache.stats()
+        if teacher_beam_cache is not None:
+            history["teacher_beam_cache"] = teacher_beam_cache.stats()
         logger.finish()
         return state, history
     final_vars = {"params": state.params, "batch_stats": state.batch_stats}
@@ -985,6 +1110,8 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
     history["epoch_step_ms"] = [d * 1e3 for d in timer.durations]
     if teacher_cache is not None:
         history["teacher_cache"] = teacher_cache.stats()
+    if teacher_beam_cache is not None:
+        history["teacher_beam_cache"] = teacher_beam_cache.stats()
     logger.finish()
     return state, history
 
@@ -1059,7 +1186,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     run_name = time.strftime("%y%m%d_%H%M%S")
     train(config, splits["train"], splits["validate"], splits["test"],
           tokenizer, run_name=run_name,
-          teacher_cache=config.train.teacher_cache_dir or None)
+          teacher_cache=config.train.teacher_cache_dir or None,
+          teacher_beam_cache=getattr(config.train, "teacher_beam_cache_dir",
+                                     "") or None)
 
 
 if __name__ == "__main__":

@@ -326,12 +326,15 @@ def _caption_pairs(n=120):
 
 
 def test_meteor_gap_vs_nltk_quantified():
-    """Quantified bound on meteor_lite vs nltk's METEOR run in the SAME
-    no-WordNet mode (synonym stage disabled via a data-less stub, original
-    Porter mode): the two greedy aligners differ only in scan direction
-    (ours forward, nltk's reversed), so per-pair deltas are tie-break noise.
-    The asserted bounds double as the published divergence figures
-    (docs/METRICS.md)."""
+    """meteor_lite vs nltk's METEOR in the SAME no-WordNet mode (data-less
+    wordnet stub, original Porter mode). Since round 4 the aligner is the
+    EXACT chunk-minimizing search (the Java scorer's resolution order), so
+    nltk's greedy reverse-scan alignment can never beat it: on every pair
+    ours >= nltk, with equality wherever nltk's greedy happens to land on
+    an optimal alignment (the vast majority). The remaining non-zero deltas
+    are exactly the duplicate-word pairs where nltk is chunk-suboptimal —
+    measured on this fixture: 116/120 identical, ours strictly better on
+    the other 4, mean delta 0.0020, max 0.133 (docs/METRICS.md)."""
     nltk = pytest.importorskip("nltk")
     from nltk.translate.meteor_score import single_meteor_score
 
@@ -343,19 +346,98 @@ def test_meteor_gap_vs_nltk_quantified():
         ours = metrics.meteor_lite({"0": [ref]}, {"0": cand}, synonyms=None)
         theirs = single_meteor_score(ref, cand, preprocess=lambda s: s,
                                      stemmer=stemmer, wordnet=stub)
-        deltas.append(abs(ours - theirs))
+        # dominance: in exact+stem mode both aligners find the maximum
+        # match count (equivalence-relation matching), so the chunk-minimal
+        # alignment's score is an upper bound on any greedy alignment's
+        assert ours >= theirs - 1e-9, (ref, cand, ours, theirs)
+        deltas.append(ours - theirs)
     deltas = sorted(deltas)
     mean = sum(deltas) / len(deltas)
-    # measured on this fixture: mean 0.0026, 114/120 pairs identical, max
-    # 0.133 — every non-zero delta is a duplicate-word ("a", "the")
-    # tie-break where the two greedy aligners pair different occurrences
-    # and land on different chunk counts (docs/METRICS.md records the run;
-    # the Java scorer's chunk-minimizing search would side with whichever
-    # alignment has fewer chunks)
     assert mean < 0.005, f"mean METEOR delta {mean:.4f}"
     assert deltas[-1] < 0.15, f"max METEOR delta {deltas[-1]:.4f}"
     agree = sum(d < 1e-9 for d in deltas)
     assert agree >= int(0.9 * len(deltas)), f"only {agree}/120 pairs identical"
+
+
+def _align_bruteforce(edges, n_cand):
+    """Plain recursive enumeration of every alignment — the trusted oracle
+    for (max matches, min chunks, min distance) on tiny sentences."""
+    best = [(0, 0, 0)]
+
+    def rec(i, used, prev_j, matches, chunks, dist):
+        if i == n_cand:
+            key = (-matches, chunks, dist)
+            if key < best[0]:
+                best[0] = key
+            return
+        rec(i + 1, used, -2, matches, chunks, dist)
+        for j in edges[i]:
+            if j in used:
+                continue
+            rec(i + 1, used | {j}, j, matches + 1,
+                chunks + (0 if prev_j == j - 1 else 1), dist + abs(i - j))
+
+    rec(0, frozenset(), -2, 0, 0, 0)
+    neg_m, ch, _ = best[0]
+    return -neg_m, ch
+
+
+def test_meteor_align_exact_matches_bruteforce_oracle():
+    """_align_exact (memoized search) == exhaustive enumeration on random
+    small duplicate-heavy sentences: the memoization and lexicographic
+    pruning lose nothing."""
+    import random
+    rng = random.Random(7)
+    vocab = ["a", "the", "man", "dog", "runs", "running", "sits", "fast"]
+    for _ in range(200):
+        cand = [rng.choice(vocab) for _ in range(rng.randint(1, 7))]
+        ref = [rng.choice(vocab) for _ in range(rng.randint(1, 7))]
+        edges = metrics._match_edges(cand, ref, None)
+        got = metrics._align_exact(edges)
+        want = _align_bruteforce(edges, len(cand))
+        assert got == want, (cand, ref, got, want)
+
+
+def test_meteor_chunk_minimizing_golden():
+    """Hand-derived duplicate-word golden: ref 'the cat sat on the mat',
+    cand 'the mat'. Greedy forward pairs cand 'the' with ref[0] -> 2
+    chunks; the chunk-minimal alignment pairs it with ref[4] so
+    ('the','mat') extends one diagonal run -> 1 chunk. m=2, P=1, R=1/3,
+    fmean=(1/3)/(0.9+1/30)=0.357142857..., penalty=0.5*(1/2)^3=0.0625,
+    score=0.334821428..."""
+    ref = ["the", "cat", "sat", "on", "the", "mat"]
+    cand = ["the", "mat"]
+    m, chunks = metrics._meteor_align(cand, ref)
+    assert (m, chunks) == (2, 1)
+    # the old greedy scan lands on the 2-chunk alignment
+    assert metrics._align_greedy(cand, ref) == (2, 2)
+    got = metrics.meteor_lite({"0": [ref]}, {"0": cand})
+    assert abs(got - (1 / 3) / (0.9 + 1 / 30) * (1 - 0.0625)) < 1e-12
+
+
+def test_meteor_pooled_matching_beats_staged_greedy():
+    """The jar pools all matchers' matches BEFORE resolving the alignment
+    (max coverage first), so an exact match must not starve two pooled
+    matches: cand [car, machine] vs ref [car, auto] with auto∈syn(car),
+    car∈syn(machine) aligns car~auto + machine~car (2 matches), while the
+    staged greedy burns car on its exact twin and strands machine (1)."""
+    table = metrics._SynonymTable({
+        "car": frozenset(["car", "auto", "automobile", "machine"]),
+        "machine": frozenset(["machine", "car"]),
+    })
+    cand, ref = ["car", "machine"], ["car", "auto"]
+    assert metrics._meteor_align(cand, ref, table) == (2, 2)
+    assert metrics._align_greedy(cand, ref, table) == (1, 1)
+
+
+def test_meteor_align_budget_falls_back_to_greedy(monkeypatch):
+    """Past the node budget the aligner degrades to the greedy scan
+    instead of hanging; on the all-duplicates worst case the greedy
+    diagonal is chunk-optimal anyway."""
+    monkeypatch.setattr(metrics, "_ALIGN_SEARCH_BUDGET", 10)
+    cand = ["a"] * 12
+    ref = ["a"] * 12
+    assert metrics._meteor_align(cand, ref) == (12, 1)
 
 
 def test_meteor_synonym_stage_matches_nltk():

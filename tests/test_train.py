@@ -1177,3 +1177,158 @@ def test_grad_accum_composes_with_replay_cache(setup):
                     jax.tree.leaves(s_full.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Beam-KD target cache (VERDICT r3 #1)
+# ---------------------------------------------------------------------------
+
+def test_teacher_beam_cache_roundtrip(tmp_path):
+    from rtvc_tpu.data.teacher_cache import TeacherBeamCache
+
+    cache = TeacherBeamCache(str(tmp_path / "bc"), beam_size=2, max_steps=8)
+    keys = [cache.key("vid1"), cache.key("vid2")]
+    assert cache.get_batch(keys) is None  # cold miss
+    rng = np.random.default_rng(0)
+    preds = rng.integers(0, 173, size=(2, 8)).astype(np.int32)
+    kd = rng.normal(size=(2, 7, 11)).astype(np.float32)
+    cache.put_batch(keys, preds, kd)
+    got = cache.get_batch(keys)
+    np.testing.assert_array_equal(got["predictions"], preds)
+    np.testing.assert_array_equal(got["kd"], kd)
+    # partial miss → None (whole batch recomputes, one step signature)
+    assert cache.get_batch([keys[0], cache.key("vid3")]) is None
+    assert cache.stats()["hits"] == 2
+
+
+def test_teacher_beam_cache_param_change_misses(tmp_path):
+    """Beam hyperparameters are part of the entry filename: a config change
+    must MISS and recompute, never replay beams searched under different
+    beam_size/max_steps/length_penalty/top_k."""
+    from rtvc_tpu.data.teacher_cache import TeacherBeamCache
+
+    d = str(tmp_path / "bc")
+    base = dict(beam_size=2, max_steps=8, length_penalty=0.6)
+    cache = TeacherBeamCache(d, **base)
+    preds = np.zeros((1, 8), np.int32)
+    kd = np.zeros((1, 7, 11), np.float32)
+    cache.put_batch([cache.key("v")], preds, kd)
+    assert cache.get_batch([cache.key("v")]) is not None
+    for change in (dict(beam_size=4), dict(max_steps=15),
+                   dict(length_penalty=0.7), dict(top_k=8)):
+        other = TeacherBeamCache(d, **{**base, **change})
+        assert other.get_batch([other.key("v")]) is None, change
+
+
+def test_teacher_beam_cache_tokens_only_mode(tmp_path):
+    """store_consensus=False (loss 5 without consensus KD) stores just the
+    prediction rows — no [S, V] logits on disk."""
+    from rtvc_tpu.data.teacher_cache import TeacherBeamCache
+
+    cache = TeacherBeamCache(str(tmp_path / "bc"), store_consensus=False)
+    preds = np.arange(15, dtype=np.int32)[None]
+    cache.put_batch([cache.key("v")], preds)
+    got = cache.get_batch([cache.key("v")])
+    np.testing.assert_array_equal(got["predictions"], preds)
+    assert set(got) == {"predictions"}
+    with pytest.raises(ValueError, match="kd_logits"):
+        TeacherBeamCache(str(tmp_path / "bc2")).put_batch(["v"], preds)
+
+
+def test_teacher_beam_cache_topk_roundtrip(tmp_path):
+    from rtvc_tpu.data.teacher_cache import TeacherBeamCache, densify_topk
+
+    cache = TeacherBeamCache(str(tmp_path / "bc"), top_k=4)
+    rng = np.random.default_rng(1)
+    preds = rng.integers(0, 173, size=(1, 8)).astype(np.int32)
+    kd = rng.normal(size=(1, 7, 11)).astype(np.float32)
+    cache.put_batch([cache.key("v")], preds, kd)
+    got = cache.get_batch([cache.key("v")])
+    assert got["kd_vals"].shape == (1, 7, 4)
+    # the densified replay preserves the top-k softmax mass exactly
+    dense = np.asarray(densify_topk(got["kd_vals"], got["kd_idx"], 11))
+    vals, idx = cache.compress(kd)
+    np.testing.assert_allclose(
+        np.take_along_axis(dense[0], idx[0], axis=-1), vals[0], rtol=1e-6)
+
+
+def test_external_beam_step_guards():
+    student, teacher = tiny_pair()
+    tx = optax.adam(1e-3)
+    # replaying the beam with no beam-KD loss active is a config error
+    with pytest.raises(ValueError, match="external_teacher_beam"):
+        make_train_step(student, teacher, tx, LossWeights(),
+                        external_teacher_beam=True)
+    # forced-logit cache + beam losses needs the beam cache too
+    with pytest.raises(ValueError, match="beam cache"):
+        make_train_step(student, teacher, tx,
+                        LossWeights(kd_source="beam_consensus"),
+                        external_teacher_logits=True)
+
+
+def test_cache_replay_feed_beam_prefetch(tmp_path):
+    from rtvc_tpu.data.teacher_cache import CacheReplayFeed, TeacherBeamCache
+
+    cache = TeacherBeamCache(str(tmp_path / "bc"), beam_size=2, max_steps=8)
+    batch = synth_batch(b=2) | {"vid-id": ["v0", "v1"],
+                                "caption-id": [0, 1]}
+    rng = np.random.default_rng(2)
+    preds = rng.integers(0, 173, size=(2, 8)).astype(np.int32)
+    kd = rng.normal(size=(2, 7, 11)).astype(np.float32)
+
+    # miss epoch: keys present, no targets attached
+    out = list(CacheReplayFeed([batch], beam_cache=cache))[0]
+    assert out["_beam_cache_keys"] == ["v0", "v1"]
+    assert "teacher_beam_predictions" not in out
+
+    cache.put_batch(out["_beam_cache_keys"], preds, kd)
+    hit = list(CacheReplayFeed([batch], beam_cache=cache))[0]
+    np.testing.assert_array_equal(
+        np.asarray(hit["teacher_beam_predictions"]), preds)
+    np.testing.assert_array_equal(np.asarray(hit["teacher_kd_logits"]), kd)
+
+
+def test_train_with_beam_cache_matches_uncached(tmp_path):
+    """Beam-target caching must not change training: two 2-epoch runs
+    (beam-cached vs live beam) with BOTH beam-KD losses active
+    (ce_teacher + beam-consensus KL) produce matching loss histories, and
+    epoch 2 is all hits (beam targets key on the vid alone)."""
+    from rtvc_tpu.config import from_dict
+    from rtvc_tpu.data.teacher_cache import TeacherBeamCache
+    from rtvc_tpu.tokenization import BertWordPieceTokenizer
+
+    tok = BertWordPieceTokenizer()
+    weights = LossWeights(ce_teacher=0.5, kd_source="beam_consensus")
+
+    def loader(seed):
+        return [synth_batch(b=4, seed=seed) | {
+            "vid-id": [f"v{i}" for i in range(4)],
+            "caption-id": list(range(4))}]
+
+    def run(cache):
+        student, teacher = tiny_pair()
+        config = from_dict({
+            "logger": {"save_dir": str(tmp_path / ("c" if cache else "n"))},
+            "train": {"lr": 1e-3, "batch_size": 4,
+                      "trainer": {"max_epochs": 2}},
+            "teacher": {"beam_size": 2, "max_steps": 8},
+            "wandb": {"mode": "disabled"},
+        })
+        tvars = teacher.init(jax.random.PRNGKey(1),
+                             synth_batch(b=1)["frames"],
+                             synth_batch(b=1)["caption"])
+        _, hist = train(config, loader(0), loader(1), loader(2), tok,
+                        run_name="x", student=student, teacher=teacher,
+                        teacher_vars=tvars, max_epochs=2,
+                        loss_weights=weights, teacher_beam_cache=cache)
+        return hist
+
+    cache = TeacherBeamCache(str(tmp_path / "bcache"), beam_size=2,
+                             max_steps=8)
+    hist_cached = run(cache)
+    hist_live = run(None)
+    np.testing.assert_allclose(hist_cached["train_loss"],
+                               hist_live["train_loss"], rtol=1e-5)
+    # epoch 1: 4 misses; epoch 2: 4 hits
+    assert cache.stats()["hits"] >= 4 and cache.stats()["misses"] >= 4
+    assert hist_cached["teacher_beam_cache"]["hits"] >= 4
