@@ -681,6 +681,187 @@ def blhd_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     )(q, k, v)
 
 
+# ---------------------------------------------------------------------------
+# Window attention with in-kernel learned bias (VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+
+# Route TinyViT's window attention ([B·nW, H, N, D], N = 49/196, learned
+# relative-position bias [H, N, N]) through the fused Pallas kernel below
+# instead of XLA. EXPERIMENT RESULT (scripts/ab_window_pallas.py, v5e,
+# 2026-08-19, docs/PERF.md §1b addendum): the kernel is CORRECT (f32
+# parity 7e-7 vs a HIGHEST-precision reference — tighter than the XLA
+# path's own 1-2e-2 under this terminal's --xla_allow_excess_precision)
+# but LOSES on speed: whole-encoder 11.73 ms vs XLA's 8.68 (0.74x);
+# stage1 core (768 win x 49 tok) 0.926 vs 0.190 ms — XLA's batched-
+# small-matmul lowering beats Mosaic's serialized per-window tpu.matmul
+# at every block size tried (C = 8-128, batched and unrolled). Mixed
+# routing (Pallas only at N=196, the one isolated-core win at 1.09x)
+# also loses in context: 10.31 ms — the pallas_call boundary costs more
+# than the kernel saves, the same in-context effect as PALLAS_MIN_KV_LEN.
+# Default OFF; kernel + tests stay as the recorded experiment.
+USE_WINDOW_PALLAS = False
+
+
+def set_window_pallas(value: bool) -> None:
+    """Flip the TinyViT window-attention Pallas route (trace-time)."""
+    global USE_WINDOW_PALLAS
+    USE_WINDOW_PALLAS = bool(value)
+
+
+def _window_block(b: int, n: int, d: int, acc_bytes: int) -> int:
+    """Windows per kernel instance: the largest divisor of the window-batch
+    whose PADDED [C, N, N] score tile (N=49 pads to 56/64 sublanes × 128
+    lanes — padding, not N², is what occupies VMEM) stays within ~1.25 MB,
+    leaving room inside the 16 MB scoped limit for the ~4 live
+    score-shaped temporaries (s, e, p, dot buffers) plus the
+    double-buffered q/k/v/out tiles."""
+    sub = 8 if acc_bytes >= 4 else 16
+    padded = _round_up(n, sub) * _round_up(n, 128) * acc_bytes \
+        + 2 * _round_up(n, sub) * _round_up(d, 128) * acc_bytes
+    budget = int(1.25e6 // padded) or 1
+    c = 1
+    for cand in range(2, min(b, 128, budget) + 1):
+        if b % cand == 0:
+            c = cand
+    return c
+
+
+def _make_window_kernel(scale: float, acc_t, out_t):
+    def kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
+        q = q_ref[:, 0]                    # [C, N, D]
+        k = k_ref[:, 0]
+        v = v_ref[:, 0]
+        # scores in acc_t: f32 for parity mode, q.dtype (bf16) for the
+        # shipping softmax_in_input_dtype mode — MXU accumulation itself
+        # is controlled by preferred_element_type exactly as in
+        # xla_attention, so the kernel is numerics-compatible with the
+        # XLA path it replaces.
+        # Matmul dtypes: Mosaic requires a 32-bit accumulator for the
+        # batched tpu.matmul, so both dots accumulate f32 regardless of
+        # mode (the XLA path's MXU accumulation is f32 too). f32 operands
+        # additionally take HIGHEST precision: this terminal sets
+        # --xla_allow_excess_precision, under which DEFAULT lowers the
+        # f32 dot as a single bf16 MXU pass (~7e-2 raw-score error vs the
+        # true f32 product) — the f32 parity mode is therefore MORE
+        # accurate than the XLA path it replaces. The acc_t (bf16) lever
+        # applies to the score TENSOR + softmax arithmetic, mirroring
+        # xla_attention's softmax_in_input_dtype.
+        prec = (jax.lax.Precision.HIGHEST
+                if q.dtype == jnp.float32 else None)
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        s = (s * scale).astype(acc_t) + b_ref[0][None].astype(acc_t)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(out_t)
+        o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        o_ref[:, 0] = o.astype(o_ref.dtype)
+
+    return kernel
+
+
+def _window_attention_fwd_pallas(q, k, v, bias, scale: float,
+                                 softmax_in_input_dtype: bool,
+                                 interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, n, d = q.shape
+    acc_t = jnp.dtype(q.dtype if softmax_in_input_dtype else jnp.float32)
+    c = _window_block(b, n, d, acc_t.itemsize)
+    qkv_spec = pl.BlockSpec((c, 1, n, d), lambda i, hh: (i, hh, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, n, n), lambda i, hh: (hh, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_window_kernel(float(scale), acc_t, v.dtype),
+        grid=(b // c, h),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * n * d,
+            bytes_accessed=4 * q.size * q.dtype.itemsize + bias.size * 4,
+            transcendentals=b * h * n * n,
+        ),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _window_attention(q, k, v, bias, scale, softmax_in_input_dtype,
+                      interpret):
+    return _window_attention_fwd_pallas(q, k, v, bias, scale,
+                                        softmax_in_input_dtype, interpret)
+
+
+def _window_attention_fwd(q, k, v, bias, scale, softmax_in_input_dtype,
+                          interpret):
+    out = _window_attention_fwd_pallas(q, k, v, bias, scale,
+                                       softmax_in_input_dtype, interpret)
+    return out, (q, k, v, bias)
+
+
+def _window_attention_bwd(scale, softmax_in_input_dtype, interpret,
+                          res, g):
+    """Explicit attention backward (recompute-probs flavour): exactly the
+    VJP of the kernel's math, written in XLA ops — the backward was never
+    the window bottleneck (it is matmul-shaped like the forward and XLA
+    fuses it fine), and recomputing probs here means the forward kernel
+    stores NO residual score tensor."""
+    q, k, v, bias = res
+    acc_t = jnp.dtype(q.dtype if softmax_in_input_dtype else jnp.float32)
+    # same precision policy as the forward kernel: exact f32 products in
+    # parity mode (this terminal's --xla_allow_excess_precision would
+    # otherwise drop the recomputed probs to single bf16 passes)
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=prec,
+                   preferred_element_type=jnp.float32) * scale
+    s = s.astype(acc_t) + bias[None].astype(acc_t)
+    p = jax.nn.softmax(s, axis=-1)
+    p_v = p.astype(v.dtype)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p_v, g, precision=prec)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g, v, precision=prec,
+                    preferred_element_type=jnp.float32).astype(acc_t)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds_scaled = ds * jnp.asarray(scale, acc_t)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds_scaled, k,
+                    precision=prec).astype(q.dtype)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds_scaled, q,
+                    precision=prec).astype(k.dtype)
+    dbias = jnp.sum(ds.astype(jnp.float32), axis=0).astype(bias.dtype)
+    return dq, dk, dv.astype(v.dtype), dbias
+
+
+_window_attention.defvjp(_window_attention_fwd, _window_attention_bwd)
+
+
+def window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     bias: jnp.ndarray, *, scale: Optional[float] = None,
+                     softmax_in_input_dtype: bool = False,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Fused window attention with the learned relative-position bias added
+    IN-KERNEL (TinyViT WindowAttention, reference timm tiny_vit.py hot loop
+    / model.py:114-133). q/k/v: [B·nW, H, N, D]; bias: [H, N, N] f32.
+
+    One grid instance handles C windows of one head: batched QKᵀ (Mosaic
+    lowers the batch dim), scale+bias, softmax and PV all run on a VMEM
+    score tile — the [B·nW·H, N, N] score tensor never exists in HBM.
+    Numerics mirror ``xla_attention(bias=...)`` in both softmax dtype
+    modes; gradients (incl. dbias) come from the explicit recompute
+    backward above.
+    """
+    b, h, n, d = q.shape
+    assert bias.shape == (h, n, n), (bias.shape, q.shape)
+    if scale is None:
+        scale = d ** -0.5
+    return _window_attention(q, k, v, bias, float(scale),
+                             bool(softmax_in_input_dtype), interpret)
+
+
 # Pallas pays off when the KV context is long enough that avoiding the HBM
 # round-trip of the [Lq, Lkv] score matrix beats what pallas_call costs the
 # surrounding program. Two v5e A/Bs disagree and the IN-CONTEXT one wins:
@@ -745,13 +926,23 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     the matching backward kernel), XLA elsewhere.
 
     The reference applied dropout inside SDPA (torch default). Learned
-    additive biases (TinyViT window attention) route to the XLA path —
-    XLA fuses those fine at window sizes; so do the student's short
-    sequences (see PALLAS_MIN_KV_LEN).
+    additive biases (TinyViT window attention) route to XLA — the fused
+    window kernel (``window_attention``) exists and is opt-in via
+    USE_WINDOW_PALLAS, but measured SLOWER in context (docs/PERF.md §1b
+    round-4 addendum); the student's short sequences also stay XLA (see
+    PALLAS_MIN_KV_LEN).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     wants_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    if (bias is not None and USE_WINDOW_PALLAS and _on_tpu()
+            and not causal and kv_mask is None and not wants_dropout
+            and q.shape == k.shape == v.shape
+            and bias.shape in ((1,) + (q.shape[1], q.shape[2], k.shape[2]),
+                               (q.shape[1], q.shape[2], k.shape[2]))):
+        return window_attention(
+            q, k, v, bias[0] if bias.ndim == 4 else bias, scale=scale,
+            softmax_in_input_dtype=softmax_in_input_dtype)
     if use_pallas is None:
         use_pallas = (_on_tpu() and bias is None
                       and k.shape[2] >= PALLAS_MIN_KV_LEN)

@@ -521,3 +521,56 @@ def test_blhd_attention_matches_xla():
     np.testing.assert_allclose(np.asarray(got),
                                np.asarray(jnp.transpose(want, (0, 2, 1, 3))),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_window_attention_matches_xla():
+    """The window kernel (in-kernel learned bias; recorded experiment,
+    USE_WINDOW_PALLAS — docs/PERF.md §1b round-4 addendum) == XLA
+    attention with the same [H, N, N] bias, in both softmax dtype modes,
+    including an awkward window-batch (b=7 forces the C=1 block path)."""
+    from rtvc_tpu.ops.attention import window_attention
+
+    rng = np.random.default_rng(0)
+    for b, h, n, d in ((12, 3, 49, 32), (7, 2, 50, 16)):
+        q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(h, n, n)), jnp.float32)
+        for native in (False, True):
+            with jax.default_matmul_precision("highest"):
+                got = window_attention(q, k, v, bias, scale=d ** -0.5,
+                                       softmax_in_input_dtype=native,
+                                       interpret=True)
+                want = xla_attention(q, k, v, bias=bias[None],
+                                     scale=d ** -0.5,
+                                     softmax_in_input_dtype=native)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-5, rtol=2e-5)
+
+
+def test_window_attention_grads_match_xla():
+    """The explicit-formula custom VJP (incl. dbias — the bias is a
+    LEARNED parameter) == autodiff through the XLA path."""
+    from rtvc_tpu.ops.attention import window_attention
+
+    rng = np.random.default_rng(1)
+    b, h, n, d = 6, 3, 21, 16
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(h, n, n)), jnp.float32)
+
+    def f_new(q, k, v, bias):
+        return jnp.sum(jnp.sin(window_attention(
+            q, k, v, bias, scale=d ** -0.5, interpret=True)))
+
+    def f_ref(q, k, v, bias):
+        return jnp.sum(jnp.sin(xla_attention(
+            q, k, v, bias=bias[None], scale=d ** -0.5)))
+
+    with jax.default_matmul_precision("highest"):
+        g_new = jax.grad(f_new, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=5e-4)
