@@ -196,7 +196,7 @@ def truncate_at_sep(row: np.ndarray, sep_id: int = SEP_TOKEN_ID) -> np.ndarray:
 
 
 def make_caption_step(student: StudentCandidateV1, *, max_len: int = 25,
-                      beam: int = 0):
+                      beam: int = 0, crop_size: int = 224):
     """The serving program: uint8 window batch → caption token rows.
 
     ``step(variables, frames_u8)`` maps ``[B, W, H, Wd, 3]`` uint8 frames
@@ -207,13 +207,15 @@ def make_caption_step(student: StudentCandidateV1, *, max_len: int = 25,
     ``rtvc_tpu.export`` lowers the same function into AOT deployment
     artifacts, so an exported program is the served program by
     construction. Params stay a jit ARGUMENT (constant-inlining a ~254 MB
-    tree bloats the compile payload, docs/PERF.md §4).
+    tree bloats the compile payload, docs/PERF.md §4). ``crop_size``
+    parameterizes the preprocess target resolution (default 224 = CLIP;
+    the multichip dryrun drives this same program at tiny shapes).
     """
     def step(variables, frames_u8):
         from .ops.preprocess import clip_preprocess
         b, w = frames_u8.shape[:2]
         flat = frames_u8.reshape((b * w,) + frames_u8.shape[2:])
-        proc = clip_preprocess(flat)
+        proc = clip_preprocess(flat, crop_size=crop_size)
         proc = proc.reshape((b, w) + proc.shape[1:])
         if beam > 0:
             return decode_lib.student_beam(

@@ -1332,3 +1332,34 @@ def test_train_with_beam_cache_matches_uncached(tmp_path):
     # epoch 1: 4 misses; epoch 2: 4 hits
     assert cache.stats()["hits"] >= 4 and cache.stats()["misses"] >= 4
     assert hist_cached["teacher_beam_cache"]["hits"] >= 4
+
+
+def test_beam_replay_composes_with_dp_mesh(setup):
+    """Beam-KD replay arrays (predictions + consensus logits) ride the
+    SAME dp sharding as the data batch: the dp-sharded replay step's loss
+    equals the unsharded step's — certifies the beam cache composes with
+    the mesh the way the forced-logit cache does."""
+    student, teacher, batch, tx, state, tvars = setup
+    weights = LossWeights(ce_teacher=0.5, kd_source="beam_consensus")
+    step = make_train_step(student, teacher, tx, weights, donate=False,
+                           kd_beam_size=2, kd_max_steps=8,
+                           external_teacher_beam=True)
+    rng_np = np.random.default_rng(3)
+    b = batch["frames"].shape[0]
+    vocab = teacher.config.vocab_size
+    preds = rng_np.integers(3, vocab, size=(b, 8)).astype(np.int32)
+    preds[:, 6:] = 102
+    kd = rng_np.normal(size=(b, 8, vocab)).astype(np.float32)
+    rb = dict(batch, teacher_beam_predictions=jnp.asarray(preds),
+              teacher_kd_logits=jnp.asarray(kd))
+    rng = jax.random.PRNGKey(5)
+    with jax.default_matmul_precision("highest"):
+        _, m_single = step(state, tvars, rb, rng)
+        mesh = make_mesh((-1, 1))
+        state_r = TrainState(params=place_params(state.params, mesh),
+                             batch_stats=replicate(state.batch_stats, mesh),
+                             opt_state=jax.device_put(state.opt_state),
+                             step=state.step)
+        _, m_shard = step(state_r, replicate(tvars, mesh),
+                          shard_batch(rb, mesh), rng)
+    assert abs(float(m_single["total"]) - float(m_shard["total"])) < 1e-3
