@@ -7,7 +7,13 @@ scripts/ab_beam_replay_step.py measured the step functions in isolation
 (465.3 -> 42.7 ms); this records the number the docs/PERF.md §3 table
 quotes for the PRODUCTION path — prefetch thread, loop dispatch and all.
 
-Usage: python scripts/ab_beam_cache_train.py [n_batches]
+Usage: python scripts/ab_beam_cache_train.py [n_batches] [top_k]
+
+top_k=0 (default) stores full-vocab consensus rows — on the tunneled
+runtime their 14.6 MB/batch upload dominates the replay step (423.7 ms at
+34 MB/s — exactly the link time); top_k=128 stores the (value, index)
+pairs (~92 KB/batch) and rebuilds dense rows ON DEVICE, the same cure the
+forced-logit cache uses (docs/PERF.md §3).
 """
 
 import os
@@ -35,8 +41,9 @@ def main():
     from rtvc_tpu.train import train
 
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 6
-    print(f"backend={jax.default_backend()} n_batches={n_batches}",
-          flush=True)
+    top_k = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    print(f"backend={jax.default_backend()} n_batches={n_batches} "
+          f"top_k={top_k}", flush=True)
 
     def batch(seed):
         r = np.random.default_rng(seed)
@@ -73,7 +80,7 @@ def main():
           f"epoch_step_ms={live['epoch_step_ms']}", flush=True)
 
     cache = TeacherBeamCache(os.path.join(tmp, "bcache"), beam_size=4,
-                             max_steps=15, length_penalty=0.6)
+                             max_steps=15, length_penalty=0.6, top_k=top_k)
     t0 = time.perf_counter()
     _, rep = train(config, loader, [], [], tok, run_name="cached",
                    student=student, teacher=teacher, max_epochs=3,
