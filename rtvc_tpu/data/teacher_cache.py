@@ -103,30 +103,7 @@ class TeacherLogitsCache:
                 np.savez(self._path(key), values=vals, indices=idx)
             else:
                 np.save(self._path(key), row)
-        self._evict()
-
-    def _evict(self) -> None:
-        if self.max_bytes is None:
-            return
-        entries = []
-        total = 0
-        for fn in os.listdir(self.cache_dir):
-            path = os.path.join(self.cache_dir, fn)
-            try:
-                st = os.stat(path)
-            except OSError:
-                continue
-            entries.append((st.st_mtime, st.st_size, path))
-            total += st.st_size
-        entries.sort()  # oldest first
-        for _, size, path in entries:
-            if total <= self.max_bytes:
-                break
-            try:
-                os.remove(path)
-                total -= size
-            except OSError:
-                pass
+        _evict_lru(self.cache_dir, self.max_bytes)
 
     def stats(self) -> Dict[str, int]:
         return {"hits": self.hits, "misses": self.misses}
