@@ -1363,3 +1363,73 @@ def test_beam_replay_composes_with_dp_mesh(setup):
         _, m_shard = step(state_r, replicate(tvars, mesh),
                           shard_batch(rb, mesh), rng)
     assert abs(float(m_single["total"]) - float(m_shard["total"])) < 1e-3
+
+
+def test_beam_cache_topk_lossless_when_k_covers_vocab(tmp_path):
+    """Beam-cache top-K mode degrades gracefully to exact when K >= vocab:
+    the truncated replay's densified consensus rows reproduce the full
+    rows' KL bitwise-close (tail empty) — the beam analogue of
+    test_teacher_cache_topk_lossless_when_k_covers_vocab."""
+    from rtvc_tpu.data.teacher_cache import TeacherBeamCache, densify_topk
+    from rtvc_tpu.distill import kl_divergence_loss
+
+    rng = np.random.default_rng(2)
+    kd = rng.normal(size=(2, 5, 8)).astype(np.float32)
+    preds = rng.integers(0, 8, size=(2, 5)).astype(np.int32)
+    cache = TeacherBeamCache(str(tmp_path), top_k=8, beam_size=2,
+                             max_steps=5)
+    keys = [cache.key("a"), cache.key("b")]
+    cache.put_batch(keys, preds, kd)
+    got = cache.get_batch(keys)
+    dense = densify_topk(got["kd_vals"], got["kd_idx"], 8)
+    student = jnp.asarray(rng.normal(size=(2, 5, 8)), jnp.float32)
+    kl_full = float(kl_divergence_loss(student, jnp.asarray(kd)))
+    kl_topk = float(kl_divergence_loss(student, dense))
+    assert abs(kl_full - kl_topk) < 1e-5, (kl_full, kl_topk)
+    np.testing.assert_array_equal(got["predictions"], preds)
+
+
+def test_train_with_topk_beam_cache(tmp_path):
+    """Two-epoch loss-5 run with the top-K beam cache: epoch 2 all hits,
+    losses finite, and when K covers the vocab the cached run's losses
+    EQUAL the uncached run's (truncation empty -> exact replay)."""
+    from rtvc_tpu.config import from_dict
+    from rtvc_tpu.data.teacher_cache import TeacherBeamCache
+    from rtvc_tpu.tokenization import BertWordPieceTokenizer
+
+    tok = BertWordPieceTokenizer()
+    weights = LossWeights(ce_teacher=0.5, kd_source="beam_consensus")
+
+    def loader(seed):
+        return [synth_batch(b=4, seed=seed) | {
+            "vid-id": [f"v{i}" for i in range(4)],
+            "caption-id": list(range(4))}]
+
+    def run(cache, tag):
+        student, teacher = tiny_pair()
+        config = from_dict({
+            "logger": {"save_dir": str(tmp_path / tag)},
+            "train": {"lr": 1e-3, "batch_size": 4,
+                      "trainer": {"max_epochs": 2,
+                                  "enable_checkpointing": False}},
+            "teacher": {"beam_size": 2, "max_steps": 8},
+            "wandb": {"mode": "disabled"},
+        })
+        tvars = teacher.init(jax.random.PRNGKey(1),
+                             synth_batch(b=1)["frames"],
+                             synth_batch(b=1)["caption"])
+        _, hist = train(config, loader(0), loader(1), loader(2), tok,
+                        run_name=tag, student=student, teacher=teacher,
+                        teacher_vars=tvars, max_epochs=2,
+                        loss_weights=weights, teacher_beam_cache=cache,
+                        use_orbax=False)
+        return hist
+
+    vocab = 173  # tiny_pair teacher vocab; K = vocab -> exact
+    cache = TeacherBeamCache(str(tmp_path / "bc"), top_k=vocab,
+                             beam_size=2, max_steps=8)
+    hist_topk = run(cache, "topk")
+    hist_live = run(None, "live")
+    assert cache.stats()["hits"] >= 4 and cache.stats()["misses"] >= 4
+    np.testing.assert_allclose(hist_topk["train_loss"],
+                               hist_live["train_loss"], rtol=1e-5)
