@@ -163,6 +163,14 @@ class DeviceLoader:
         self._pool = None
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch index the NEXT ``__iter__`` shuffles with (torch
+        ``DistributedSampler.set_epoch`` convention). ``train(...,
+        resume_schedule=True)`` uses this so a resumed run's epoch-E
+        shuffle order is the one the uninterrupted run would have used;
+        without a call the counter just auto-increments per iteration."""
+        self._epoch = int(epoch)
+
     def _decode_pool(self):
         if self._pool is None:
             import multiprocessing

@@ -561,6 +561,7 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
           mesh=None, max_epochs: Optional[int] = None,
           use_orbax: bool = True,
           resume_from: Optional[str] = None,
+          resume_schedule: bool = False,
           teacher_cache=None,
           teacher_beam_cache=None
           ) -> Tuple[TrainState, Dict[str, Any]]:
@@ -569,6 +570,20 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
     ``resume_from``: path to an orbax checkpoint saved by a previous run —
     restores params, batch stats, optimizer state AND step, so training
     continues exactly (the reference never restored optimizer state).
+    By default the run then trains ``max_epochs`` MORE epochs ("fine-tune
+    further" semantics).
+
+    ``resume_schedule=True``: complete the ORIGINAL schedule instead —
+    ``max_epochs`` is the run's total, the epoch loop continues at the
+    checkpoint's recorded position (``ckpt_preempt`` redoes the interrupted
+    epoch from the first untrained batch; an epoch-end ``ckpt_NN`` starts
+    at epoch N+1), the plateau scheduler's (best, bad_epochs, lr) are
+    restored, and — when the train loader exposes ``set_epoch`` (
+    data.dataset.DeviceLoader does) — the per-epoch shuffle order is
+    re-aligned, so the completed run's step sequence (batches, dropout
+    folds, LR trajectory) is exactly the uninterrupted run's: final params
+    are BITWISE equal (pinned by tests/test_train.py). The reference had
+    no resume story at all.
 
     ``teacher_cache``: a ``data.teacher_cache.TeacherLogitsCache`` (or a
     cache-dir string). The frozen teacher's forced logits are computed once
@@ -664,8 +679,12 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
             learning_rate=config.train.lr)
 
     state = create_train_state(student, rng, example, tx)
+    start_epoch = 0       # first epoch-loop index this run executes
+    skip_batches = 0      # already-trained batches to skip in start_epoch
+    if resume_schedule and resume_from is None:
+        raise ValueError("resume_schedule=True needs resume_from")
     if resume_from is not None:
-        from .data.io import restore_checkpoint
+        from .data.io import checkpoint_meta, restore_checkpoint
         tree = restore_checkpoint(resume_from, target={
             "params": state.params, "batch_stats": state.batch_stats,
             "opt_state": state.opt_state, "step": state.step})
@@ -674,14 +693,46 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                            opt_state=tree["opt_state"], step=tree["step"])
         logger.write(f"\nresumed from {resume_from} at step "
                      f"{int(state.step)}\n")
-        from .data.io import checkpoint_meta
-        _g = checkpoint_meta(resume_from).get("gelu_approximate")
+        meta_r = checkpoint_meta(resume_from)
+        _g = meta_r.get("gelu_approximate")
         if _g is not None and bool(_g) != config.student.gelu_approximate:
             logger.write(
                 f"WARNING: checkpoint was trained with gelu_approximate="
                 f"{bool(_g)} but this run uses "
                 f"{config.student.gelu_approximate} — set "
                 f"cfg.student.gelu_approximate to match\n")
+        if resume_schedule:
+            if "epoch" not in meta_r:
+                raise ValueError(
+                    "resume_schedule=True needs a checkpoint that records "
+                    "its schedule position ('epoch' in the meta sidecar) — "
+                    f"{resume_from} predates that; resume without "
+                    "resume_schedule for 'train max_epochs more' semantics")
+            if meta_r.get("preempted"):
+                # the interrupted epoch never finished: redo it from the
+                # first batch that did NOT train before the SIGTERM
+                start_epoch = int(meta_r["epoch"])
+                skip_batches = int(meta_r.get("steps_into_epoch", 0))
+            else:
+                start_epoch = int(meta_r["epoch"]) + 1  # that epoch completed
+            plateau_meta = meta_r.get("plateau")
+            if plateau_meta is not None and not use_onecycle:
+                # host-side scheduler state; the lr VALUE inside opt_state
+                # was restored above, this keeps future anneals consistent
+                sched.lr = float(plateau_meta["lr"])
+                sched.best = float(plateau_meta["best"])
+                sched.bad_epochs = int(plateau_meta["bad_epochs"])
+            if hasattr(train_loader, "set_epoch"):
+                # In a fresh run the example fetch above consumed one loader
+                # iteration, so epoch e iterates with internal counter 1+e.
+                # This run's example fetch consumed one too — pin the next
+                # iteration to start_epoch's counter so shuffle orders match
+                # the uninterrupted run's.
+                train_loader.set_epoch(1 + start_epoch)
+            logger.write(
+                f"resuming schedule at epoch {start_epoch}"
+                + (f" (skipping {skip_batches} already-trained batches)"
+                   if skip_batches else "") + "\n")
     # Mesh placement ONLY for real multi-device meshes. On a trivial
     # 1-device mesh, NamedSharding-wrapping the param trees is not a no-op
     # on the tunneled TPU runtime: an executable whose inputs MIX
@@ -806,7 +857,13 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
         if getattr(config.train, "checkpoint_on_preemption", False) else None
     preempted = False
     try:
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
+            # resume_schedule: in the redone (preempted) epoch, the first
+            # skip_batches batches already trained before the SIGTERM —
+            # consume them without compute so the step sequence continues
+            # exactly where the interrupted run stopped
+            epoch_skip = skip_batches if epoch == start_epoch else 0
+            to_skip = epoch_skip
             epoch_losses = []
             # train_loader must be re-iterable (DeviceLoader restarts per epoch).
             # Losses stay on device until epoch end: fetching a scalar per step
@@ -846,6 +903,9 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                     mesh=mesh if dp > 1 else None,
                     beam_cache=teacher_beam_cache)
             for batch in feed:
+                if to_skip > 0:
+                    to_skip -= 1
+                    continue
                 if guard is not None and guard.triggered and not multihost:
                     # single-host: stop at the step boundary; multi-host
                     # defers to the epoch barrier below so no process
@@ -1008,12 +1068,20 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                         meta={"gelu_approximate":
                               bool(config.student.gelu_approximate),
                               "preempted": True, "epoch": epoch,
-                              "steps_into_epoch": n_steps})
+                              # trained batches THIS epoch incl. ones a prior
+                              # resume skipped (so resume-of-a-resume works)
+                              "steps_into_epoch": epoch_skip + n_steps,
+                              # scheduler state as of the last COMPLETED
+                              # epoch (this epoch never reached its eval)
+                              "plateau": None if use_onecycle else {
+                                  "lr": sched.lr, "best": sched.best,
+                                  "bad_epochs": sched.bad_epochs}})
                 logger.write(
                     f"\nSIGTERM: checkpointed full train state to "
                     f"ckpt_preempt at epoch {epoch} step {int(state.step)} "
-                    f"({n_steps} steps into the epoch); resume with "
-                    f"train(resume_from=<run_dir>/ckpt_preempt)\n")
+                    f"({epoch_skip + n_steps} steps into the epoch); resume "
+                    f"with train(resume_from=<run_dir>/ckpt_preempt, "
+                    f"resume_schedule=True) to complete the schedule\n")
                 history["preempted"] = True
                 break
 
@@ -1057,11 +1125,18 @@ def train(config: Config, train_loader: Iterable, val_loader, test_loader,
                 path = os.path.join(run_dir, f"ckpt_{epoch:02d}")
                 prune = functools.partial(_prune_checkpoints, run_dir,
                                           config.callback.save_top_k)
-                # recorded so loaders can rebuild the student with the SAME
-                # activation these weights were trained under (student.py::
-                # student_matching_checkpoint)
+                # gelu_approximate: recorded so loaders can rebuild the
+                # student with the SAME activation these weights were
+                # trained under (student.py::student_matching_checkpoint).
+                # epoch + plateau: schedule position for resume_schedule
+                # (plateau state is post-update — correct for a resume that
+                # starts at epoch+1).
                 meta = {"gelu_approximate":
-                        bool(config.student.gelu_approximate)}
+                        bool(config.student.gelu_approximate),
+                        "epoch": epoch,
+                        "plateau": None if use_onecycle else {
+                            "lr": sched.lr, "best": sched.best,
+                            "bad_epochs": sched.bad_epochs}}
                 if ckpt_saver is not None:
                     if getattr(config.tpu, "donate_train_state", False):
                         # donation invalidates these buffers at the next

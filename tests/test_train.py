@@ -1433,3 +1433,132 @@ def test_train_with_topk_beam_cache(tmp_path):
     assert cache.stats()["hits"] >= 4 and cache.stats()["misses"] >= 4
     np.testing.assert_allclose(hist_topk["train_loss"],
                                hist_live["train_loss"], rtol=1e-5)
+
+
+def test_resume_schedule_bitwise_continuation(tmp_path):
+    """A preempted 3-epoch run resumed with ``resume_schedule=True`` ends
+    with BITWISE the params/opt_state of the uninterrupted run: the epoch
+    loop continues at the interrupted epoch, already-trained batches are
+    skipped without compute, the loader's shuffle epoch is re-aligned via
+    ``set_epoch``, and the plateau scheduler state is restored from the
+    checkpoint meta. (Default ``resume_from`` semantics — "train
+    max_epochs more" — stay as pinned by
+    test_preemption_checkpoint_and_resume; the reference had no resume.)"""
+    import os as _os
+    import signal as _signal
+
+    from rtvc_tpu.config import from_dict
+    from rtvc_tpu.data.io import checkpoint_meta
+    from rtvc_tpu.tokenization import BertWordPieceTokenizer
+
+    student, teacher = tiny_pair()
+
+    def cfg():
+        return from_dict({
+            "logger": {"save_dir": str(tmp_path)},
+            "train": {"lr": 1e-3, "batch_size": 4,
+                      "plateau_patience": 0,  # anneal on any bad epoch
+                      "trainer": {"max_epochs": 3}},
+            "callback": {"save_top_k": 3},  # keep ckpt_01 for the resume
+            "wandb": {"mode": "disabled"},
+        })
+
+    class ShuffledLoader:
+        """Deterministic per-iteration-shuffled loader speaking the
+        ``set_epoch`` protocol; optionally SIGTERMs before yielding batch
+        ``kill[1]`` of iteration ``kill[0]`` (counting every ``__iter__``
+        like DeviceLoader — train()'s example fetch is iteration 0, so
+        epoch e of the loop iterates as 1+e)."""
+
+        def __init__(self, kill=None):
+            self._epoch = 0
+            self.kill = kill
+            self.seen_set_epoch = []
+
+        def set_epoch(self, epoch):
+            self.seen_set_epoch.append(int(epoch))
+            self._epoch = int(epoch)
+
+        def __len__(self):
+            return 4
+
+        def __iter__(self):
+            e = self._epoch
+            self._epoch += 1
+            order = np.random.default_rng(100 + e).permutation(4)
+            for j, i in enumerate(order):
+                if self.kill == (e, j):
+                    _os.kill(_os.getpid(), _signal.SIGTERM)
+                yield synth_batch(b=4, seed=int(i)) | {
+                    "vid-id": [f"v{int(i)}_{k}" for k in range(4)],
+                    "caption-id": list(range(4))}
+
+    def eval_loader(seed):
+        return [synth_batch(b=4, seed=seed) | {
+            "vid-id": [f"e{i}" for i in range(4)],
+            "caption-id": list(range(4))}]
+
+    tok = BertWordPieceTokenizer()
+    tvars = teacher.init(jax.random.PRNGKey(1),
+                         synth_batch(b=1)["frames"],
+                         synth_batch(b=1)["caption"])
+
+    # reference: 3 epochs, never interrupted
+    state_a, _ = train(cfg(), ShuffledLoader(), eval_loader(1),
+                       eval_loader(2), tok, run_name="sched_a",
+                       student=student, teacher=teacher, teacher_vars=tvars)
+    assert int(state_a.step) == 12
+
+    # interrupted: SIGTERM before batch 2 of epoch 1 (loader iteration 2)
+    prev = _signal.getsignal(_signal.SIGTERM)
+    state_b, hist_b = train(cfg(), ShuffledLoader(kill=(2, 2)),
+                            eval_loader(1), eval_loader(2), tok,
+                            run_name="sched_b", student=student,
+                            teacher=teacher, teacher_vars=tvars)
+    assert hist_b["preempted"] is True
+    assert int(state_b.step) == 6          # epoch 0 (4) + 2 of epoch 1
+    assert _signal.getsignal(_signal.SIGTERM) is prev
+    ckpt = str(tmp_path / "run" / "sched_b" / "ckpt_preempt")
+    meta = checkpoint_meta(ckpt)
+    assert meta["epoch"] == 1 and meta["steps_into_epoch"] == 2
+    assert meta["plateau"]["lr"] == pytest.approx(1e-3)
+
+    # completed: same TOTAL schedule, from the preemption checkpoint
+    res_loader = ShuffledLoader()
+    state_c, hist_c = train(cfg(), res_loader, eval_loader(1),
+                            eval_loader(2), tok, run_name="sched_c",
+                            student=student, teacher=teacher,
+                            teacher_vars=tvars, resume_from=ckpt,
+                            resume_schedule=True)
+    assert res_loader.seen_set_epoch == [2]  # epoch 1 iterates as 2
+    assert int(state_c.step) == 12
+    assert len(hist_c["train_loss"]) == 2    # epochs 1 and 2 only
+    for field in ("params", "opt_state", "batch_stats"):
+        flat_a = jax.tree_util.tree_leaves(getattr(state_a, field))
+        flat_c = jax.tree_util.tree_leaves(getattr(state_c, field))
+        assert len(flat_a) == len(flat_c)
+        for x, y in zip(flat_a, flat_c):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), field
+
+    # epoch-end checkpoints also record their schedule position: resuming
+    # ckpt_01 with resume_schedule runs exactly the one remaining epoch
+    e_ckpt = str(tmp_path / "run" / "sched_a" / "ckpt_01")
+    meta_e = checkpoint_meta(e_ckpt)
+    assert meta_e["epoch"] == 1 and "plateau" in meta_e
+    res2 = ShuffledLoader()
+    state_d, hist_d = train(cfg(), res2, eval_loader(1), eval_loader(2),
+                            tok, run_name="sched_d", student=student,
+                            teacher=teacher, teacher_vars=tvars,
+                            resume_from=e_ckpt, resume_schedule=True)
+    assert res2.seen_set_epoch == [3]
+    assert int(state_d.step) == 12
+    assert len(hist_d["train_loss"]) == 1
+    for x, y in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_d.params)):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+    # guardrails: clear errors, not silent wrong schedules
+    with pytest.raises(ValueError, match="needs resume_from"):
+        train(cfg(), ShuffledLoader(), eval_loader(1), eval_loader(2), tok,
+              run_name="sched_e", student=student, teacher=teacher,
+              teacher_vars=tvars, resume_schedule=True)
