@@ -1216,6 +1216,15 @@ def main(argv: Optional[List[str]] = None) -> None:
                         help="initialize jax.distributed and train over all "
                              "hosts' devices (env: COORDINATOR_ADDRESS, "
                              "NUM_PROCESSES, PROCESS_ID; auto on TPU pods)")
+    parser.add_argument("--resume", metavar="CKPT", default=None,
+                        help="orbax checkpoint to restore (params, optimizer "
+                             "state, step) before training")
+    parser.add_argument("--resume-schedule", action="store_true",
+                        help="with --resume: complete the ORIGINAL max_epochs "
+                             "schedule from the checkpoint's recorded "
+                             "position (a ckpt_preempt redoes the interrupted "
+                             "epoch from its first untrained batch) instead "
+                             "of training max_epochs more")
     args = parser.parse_args(argv)
 
     config = default_cfg
@@ -1261,6 +1270,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     run_name = time.strftime("%y%m%d_%H%M%S")
     train(config, splits["train"], splits["validate"], splits["test"],
           tokenizer, run_name=run_name,
+          resume_from=args.resume, resume_schedule=args.resume_schedule,
           teacher_cache=config.train.teacher_cache_dir or None,
           teacher_beam_cache=getattr(config.train, "teacher_beam_cache_dir",
                                      "") or None)
