@@ -161,6 +161,33 @@ def main() -> None:
     log(f"pipelined streaming: {window_time * 1e3:.1f} ms/window "
         f"({1 / window_time:.1f} windows/s)")
 
+    # --- device-only caption latency (chip signal; no tunnel in the timed
+    # path). The single-in-flight p50 above times host resize + the 0.9 MB
+    # upload + decode + fetch — serving-relevant but link-sensitive. For a
+    # round-over-round CHIP comparison, scan the caption program over 16
+    # pre-uploaded windows inside ONE jitted dispatch with a checksum
+    # carried out (docs/PERF.md §4 method), so per-caption time has no
+    # upload and the ~30 ms fetch RTT amortizes over 16 captions.
+    def scanned(variables, windows):
+        def body(acc, w):
+            toks = caption_clip(variables, w)
+            return acc + jnp.sum(toks, dtype=jnp.int32), ()
+        acc, _ = jax.lax.scan(body, jnp.int32(0), windows)
+        return acc
+
+    sstep = jax.jit(scanned)
+    # 3 distinct pre-uploaded stacks: repeated identical dispatches can be
+    # served from the tunnel cache (same caveat as raw_clips above)
+    stacks = [jax.device_put(jnp.asarray(np.stack(shrunk[i:i + 16])))
+              for i in (0, 8, 16)]
+    np.asarray(sstep(variables, stacks[0]))  # compile + warm
+    t0 = time.perf_counter()
+    for s in stacks:
+        np.asarray(sstep(variables, s))
+    dev_ms = (time.perf_counter() - t0) / (len(stacks) * 16) * 1e3
+    log(f"device-only caption: {dev_ms:.2f} ms/window "
+        f"({1e3 / dev_ms:.1f} windows/s on-chip)")
+
     # batched throughput (training/eval shape): clips/sec at batch 8
     def batched(variables, frames_u8):
         b, f = frames_u8.shape[:2]
@@ -192,10 +219,14 @@ def main() -> None:
         # upload-bound over the axon tunnel and tracks link health (observed
         # 347-1277 fps on identical code, docs/PERF.md §5); these separate
         # chip progress from tunnel weather in round-over-round BENCH_rN
-        # comparisons. batch8_clips_per_s and caption_p50_ms are the stable
-        # chip-side signals (r3 known-good: ~192-214 clips/s, p50 62-94 ms).
+        # comparisons. The CHIP signals are batch8_clips_per_s (pre-uploaded
+        # inputs; r3 known-good ~192-214) and caption_device_ms (scan-
+        # isolated, no upload/RTT in the timed path). caption_p50_ms is the
+        # single-in-flight E2E latency (host resize + upload + decode +
+        # fetch) — serving-relevant but it RIDES THE LINK (r3: 62-94 ms).
         "batch8_clips_per_s": round(8 / dt, 1),
         "caption_p50_ms": round(p50 * 1e3, 1),
+        "caption_device_ms": round(dev_ms, 2),
         "link_mb_per_s": round(h2d, 1),
     }
     print(json.dumps(result), flush=True)

@@ -26,6 +26,51 @@ def _sanitize(key: str) -> str:
     return "".join(c if c.isalnum() or c in "-_." else "_" for c in key)
 
 
+def _compress_topk(logits: np.ndarray, top_k: int):
+    """Dense [..., V] → (top-k values, indices). One implementation for
+    both caches and for their miss AND hit paths, so miss- and hit-epoch
+    steps always see the identical truncated distribution."""
+    logits = np.asarray(logits, dtype=np.float32)
+    k = min(top_k, logits.shape[-1])
+    idx = np.argpartition(logits, -k, axis=-1)[..., -k:]
+    vals = np.take_along_axis(logits, idx, axis=-1)
+    return vals.astype(np.float32), idx.astype(np.int32)
+
+
+def _atomic_save(path: str, save_fn) -> None:
+    """Write-to-temp + rename. Entries are read by the CacheReplayFeed
+    producer thread (and, vid-keyed, can recur across nearby batches)
+    while the train loop's miss path writes them — a reader must never
+    see a half-written file, and a SIGKILL mid-write must not leave a
+    permanently corrupt entry every later epoch crashes on. os.replace
+    is atomic on POSIX."""
+    tmp = path + f".tmp{os.getpid()}"
+    try:
+        save_fn(tmp)
+        # np.save/np.savez append .npy/.npz to names without that suffix
+        written = tmp if os.path.exists(tmp) else next(
+            t for t in (tmp + ".npy", tmp + ".npz") if os.path.exists(t))
+        os.replace(written, path)
+    except BaseException:
+        for t in (tmp, tmp + ".npy", tmp + ".npz"):
+            try:
+                os.remove(t)
+            except OSError:
+                pass
+        raise
+
+
+def _load_or_none(path: str, loader):
+    """A concurrently-evicted / still-being-written / corrupt entry is a
+    MISS (recompute + rewrite), never a crash."""
+    import zipfile
+
+    try:
+        return loader(path)
+    except (OSError, ValueError, KeyError, EOFError, zipfile.BadZipFile):
+        return None
+
+
 class TeacherLogitsCache:
     """``top_k=0`` (default): full-vocab rows, bitwise-exact replay.
 
@@ -66,15 +111,22 @@ class TeacherLogitsCache:
         idx_rows: List[np.ndarray] = []
         for key in keys:
             path = self._path(key)
-            if not os.path.exists(path):
-                self.misses += len(keys)
-                return None
             if self.top_k:
-                with np.load(path) as z:
-                    rows.append(z["values"])
-                    idx_rows.append(z["indices"])
+                def _ld(p):
+                    with np.load(p) as z:
+                        return z["values"], z["indices"]
+                pair = _load_or_none(path, _ld)
+                if pair is None:
+                    self.misses += len(keys)
+                    return None
+                rows.append(pair[0])
+                idx_rows.append(pair[1])
             else:
-                rows.append(np.load(path))
+                row = _load_or_none(path, np.load)
+                if row is None:
+                    self.misses += len(keys)
+                    return None
+                rows.append(row)
         self.hits += len(keys)
         for key in keys:  # touch for LRU recency
             try:
@@ -89,20 +141,17 @@ class TeacherLogitsCache:
         """Dense [..., V] → (top-k values, indices) with this cache's K
         (no I/O — the miss path uses it so miss- and hit-epoch steps see
         the identical truncated distribution)."""
-        logits = np.asarray(logits, dtype=np.float32)
-        k = min(self.top_k, logits.shape[-1])
-        idx = np.argpartition(logits, -k, axis=-1)[..., -k:]
-        vals = np.take_along_axis(logits, idx, axis=-1)
-        return vals.astype(np.float32), idx.astype(np.int32)
+        return _compress_topk(logits, self.top_k)
 
     def put_batch(self, keys: Sequence[str], logits) -> None:
         logits = np.asarray(logits, dtype=np.float32)  # bf16 → f32 is exact
         for key, row in zip(keys, logits):
             if self.top_k:
                 vals, idx = self.compress(row)
-                np.savez(self._path(key), values=vals, indices=idx)
+                _atomic_save(self._path(key),
+                             lambda p: np.savez(p, values=vals, indices=idx))
             else:
-                np.save(self._path(key), row)
+                _atomic_save(self._path(key), lambda p: np.save(p, row))
         _evict_lru(self.cache_dir, self.max_bytes)
 
     def stats(self) -> Dict[str, int]:
@@ -162,18 +211,22 @@ class TeacherBeamCache:
         kd: List[np.ndarray] = []
         kd_idx: List[np.ndarray] = []
         for key in keys:
-            path = self._path(key)
-            if not os.path.exists(path):
+            def _ld(p):
+                with np.load(p) as z:
+                    if not self.store_consensus:
+                        return (z["predictions"],)
+                    if self.top_k:
+                        return z["predictions"], z["kd_vals"], z["kd_idx"]
+                    return z["predictions"], z["kd"]
+            entry = _load_or_none(self._path(key), _ld)
+            if entry is None:
                 self.misses += len(keys)
                 return None
-            with np.load(path) as z:
-                preds.append(z["predictions"])
-                if self.store_consensus:
-                    if self.top_k:
-                        kd.append(z["kd_vals"])
-                        kd_idx.append(z["kd_idx"])
-                    else:
-                        kd.append(z["kd"])
+            preds.append(entry[0])
+            if self.store_consensus:
+                kd.append(entry[1])
+                if self.top_k:
+                    kd_idx.append(entry[2])
         self.hits += len(keys)
         for key in keys:  # touch for LRU recency
             try:
@@ -192,11 +245,7 @@ class TeacherBeamCache:
     def compress(self, kd_logits: np.ndarray):
         """Dense [..., V] → (top-k values, indices); shared truncation for
         the miss and hit paths (see TeacherLogitsCache.compress)."""
-        kd_logits = np.asarray(kd_logits, dtype=np.float32)
-        k = min(self.top_k, kd_logits.shape[-1])
-        idx = np.argpartition(kd_logits, -k, axis=-1)[..., -k:]
-        vals = np.take_along_axis(kd_logits, idx, axis=-1)
-        return vals.astype(np.float32), idx.astype(np.int32)
+        return _compress_topk(kd_logits, self.top_k)
 
     def put_batch(self, keys: Sequence[str], predictions,
                   kd_logits=None) -> None:
@@ -208,14 +257,15 @@ class TeacherBeamCache:
             kd_logits = np.asarray(kd_logits, dtype=np.float32)  # bf16→f32
         for i, key in enumerate(keys):
             if not self.store_consensus:
-                np.savez(self._path(key), predictions=predictions[i])
+                arrays = {"predictions": predictions[i]}
             elif self.top_k:
                 vals, idx = self.compress(kd_logits[i])
-                np.savez(self._path(key), predictions=predictions[i],
-                         kd_vals=vals, kd_idx=idx)
+                arrays = {"predictions": predictions[i],
+                          "kd_vals": vals, "kd_idx": idx}
             else:
-                np.savez(self._path(key), predictions=predictions[i],
-                         kd=kd_logits[i])
+                arrays = {"predictions": predictions[i], "kd": kd_logits[i]}
+            _atomic_save(self._path(key),
+                         lambda p, a=arrays: np.savez(p, **a))
         _evict_lru(self.cache_dir, self.max_bytes)
 
     def stats(self) -> Dict[str, int]:
@@ -228,6 +278,8 @@ def _evict_lru(cache_dir: str, max_bytes: Optional[int]) -> None:
     entries = []
     total = 0
     for fn in os.listdir(cache_dir):
+        if ".tmp" in fn:  # _atomic_save in flight on another thread
+            continue
         path = os.path.join(cache_dir, fn)
         try:
             st = os.stat(path)

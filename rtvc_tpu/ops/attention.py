@@ -935,7 +935,11 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     if scale is None:
         scale = q.shape[-1] ** -0.5
     wants_dropout = dropout_rate > 0.0 and dropout_rng is not None
-    if (bias is not None and USE_WINDOW_PALLAS and _on_tpu()
+    # use_pallas=False must force the XLA reference path for EVERY pallas
+    # route (A/B and parity tests rely on it), so the window kernel only
+    # engages when the caller left routing to the defaults
+    if (bias is not None and USE_WINDOW_PALLAS and use_pallas is not False
+            and _on_tpu()
             and not causal and kv_mask is None and not wants_dropout
             and q.shape == k.shape == v.shape
             and bias.shape in ((1,) + (q.shape[1], q.shape[2], k.shape[2]),

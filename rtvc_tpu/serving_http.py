@@ -237,9 +237,7 @@ def _decode_blobs(blobs: list,
                   expect_shape: Optional[tuple] = None) -> np.ndarray:
     try:
         return decode_compressed_frames(blobs, expect_shape=expect_shape)
-    except _BadRequest:
-        raise
-    except ValueError as e:
+    except ValueError as e:  # decode_compressed_frames signals via ValueError
         raise _BadRequest(str(e))
 
 

@@ -1562,3 +1562,40 @@ def test_resume_schedule_bitwise_continuation(tmp_path):
         train(cfg(), ShuffledLoader(), eval_loader(1), eval_loader(2), tok,
               run_name="sched_e", student=student, teacher=teacher,
               teacher_vars=tvars, resume_schedule=True)
+
+
+def test_teacher_cache_corrupt_entry_is_a_miss(tmp_path):
+    """A truncated/half-written/corrupt cache file is a MISS (recompute +
+    atomic rewrite), never a crash: entries are read by the
+    CacheReplayFeed producer thread while the train loop's miss path
+    writes vid-keyed entries that can recur across nearby batches, and a
+    SIGKILL mid-write must not poison every later epoch."""
+    import os
+
+    from rtvc_tpu.data.teacher_cache import (TeacherBeamCache,
+                                             TeacherLogitsCache)
+
+    cache = TeacherLogitsCache(str(tmp_path / "c"))
+    keys = ["a", "b"]
+    logits = np.random.default_rng(0).normal(size=(2, 4, 7)).astype(np.float32)
+    cache.put_batch(keys, logits)
+    # no temp residue: writes are temp+rename
+    assert all(".tmp" not in f for f in os.listdir(tmp_path / "c"))
+    path = cache._path("a")
+    with open(path, "wb") as f:
+        f.write(b"\x93NUMPY garbage")          # truncated / corrupt
+    assert cache.get_batch(keys) is None        # miss, not ValueError
+    cache.put_batch(keys, logits)               # rewrite repairs it
+    np.testing.assert_array_equal(cache.get_batch(keys), logits)
+
+    bc = TeacherBeamCache(str(tmp_path / "bc"), beam_size=2, max_steps=4)
+    preds = np.arange(8, dtype=np.int32).reshape(2, 4)
+    kd = np.random.default_rng(1).normal(size=(2, 4, 7)).astype(np.float32)
+    bc.put_batch(["v1", "v2"], preds, kd)
+    with open(bc._path("v2"), "wb") as f:
+        f.write(b"PK\x03\x04 half a zip")
+    assert bc.get_batch(["v1", "v2"]) is None
+    bc.put_batch(["v1", "v2"], preds, kd)
+    out = bc.get_batch(["v1", "v2"])
+    np.testing.assert_array_equal(out["predictions"], preds)
+    np.testing.assert_allclose(out["kd"], kd)
