@@ -1266,10 +1266,20 @@ def main(argv: Optional[List[str]] = None) -> None:
             drop_last=(split == "train"),
             host_slice=host_slice if split == "train" else None)
 
+    # the reference ran the full COCO sweep at every val/test epoch end
+    # (model.py:1056 → metrics.py:16-39, reading MSR_VTT.json); mirror
+    # that whenever the annotation file exists, instead of requiring the
+    # caller to thread annotations= through train()
+    annotations = None
+    if config.data.annotation_path and \
+            os.path.exists(config.data.annotation_path):
+        annotations = metrics_lib.load_coco_annotations(
+            config.data.annotation_path)
+
     tokenizer = BertWordPieceTokenizer()
     run_name = time.strftime("%y%m%d_%H%M%S")
     train(config, splits["train"], splits["validate"], splits["test"],
-          tokenizer, run_name=run_name,
+          tokenizer, run_name=run_name, annotations=annotations,
           resume_from=args.resume, resume_schedule=args.resume_schedule,
           teacher_cache=config.train.teacher_cache_dir or None,
           teacher_beam_cache=getattr(config.train, "teacher_beam_cache_dir",

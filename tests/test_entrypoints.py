@@ -167,3 +167,34 @@ def test_inference_entry_beam(student_ckpt):
     preds = inference(config, loader, BertWordPieceTokenizer(), "myrun",
                       student=model, max_len=5, beam_size=3)
     assert len(preds) == 2
+
+
+def test_evaluate_entry(student_ckpt):
+    """Standalone checkpoint scoring: the full COCO sweep the reference ran
+    only inside training (model.py:1040-1060) is available on demand."""
+    from rtvc_tpu.evaluate import evaluate_checkpoint
+
+    model, variables, run_dir = student_ckpt
+    config = from_dict({"logger": {"save_dir":
+                                   os.path.dirname(os.path.dirname(run_dir))}})
+    frames = jax.random.normal(jax.random.PRNGKey(5), (2, 2, 64, 64, 3))
+    caps = jnp.array([[101, 5, 6, 0], [101, 7, 0, 0]], jnp.int32)
+    loader = [{"frames": frames, "caption": caps,
+               "vid-id": ["a", "b"], "caption-id": [0, 1]}]
+    tok = BertWordPieceTokenizer()
+    ann = {"a": [tok.decode(np.asarray(caps[0]), skip_special_tokens=True)],
+           "b": [tok.decode(np.asarray(caps[1]), skip_special_tokens=True)]}
+
+    scores, outputs = evaluate_checkpoint(
+        config, loader, tok, run_name="myrun", student=model,
+        annotations=ann)
+    assert set(scores) >= {"corpus_bleu4", "Bleu_1", "Bleu_4", "METEOR",
+                           "ROUGE_L", "CIDEr"}
+    assert all(np.isfinite(v) for v in scores.values())
+    assert {o["image_id"] for o in outputs} == {"a", "b"}
+
+    # explicit --ckpt path + beam decode; no annotations -> BLEU-4 only
+    ckpt = latest_checkpoint(run_dir)
+    s2, _ = evaluate_checkpoint(config, loader, tok, ckpt=ckpt,
+                                student=model, beam_size=2)
+    assert set(s2) == {"corpus_bleu4"} and np.isfinite(s2["corpus_bleu4"])
