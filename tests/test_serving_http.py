@@ -287,3 +287,123 @@ def test_zero_length_encoded_frame_message(frontend):
         })
     assert ei.value.code == 400
     assert "zero-length encoded frame" in _http_error_message(ei.value)
+
+
+def test_fuzz_decoder_helpers_raise_valueerror_only():
+    """Deterministic fuzz of the two shared body parsers: any byte soup
+    either parses or raises ValueError/_BadRequest — never IndexError,
+    cv2.error, MemoryError, or an allocation proportional to a forged
+    length prefix (both network fronts route untrusted bodies here)."""
+    from rtvc_tpu.serving import decode_compressed_frames
+    from rtvc_tpu.serving_http import _BadRequest, _split_length_prefixed
+
+    rng = np.random.default_rng(7)
+    crafted = [
+        b"",
+        b"\x00\x00\x00\x00",                      # zero-length frame
+        b"\xff\xff\xff\xff" + b"x" * 8,           # 4 GB forged prefix
+        (8).to_bytes(4, "big") + b"short",        # overruns body
+        (3).to_bytes(4, "big") + b"abc" + b"\x00",  # trailing partial prefix
+    ]
+    bodies = crafted + [
+        rng.integers(0, 256, size=int(n), dtype=np.uint8).tobytes()
+        for n in rng.integers(1, 96, size=200)
+    ]
+    parsed = 0
+    for raw in bodies:
+        try:
+            blobs = _split_length_prefixed(raw)
+        except _BadRequest:
+            continue
+        parsed += 1
+        try:
+            decode_compressed_frames(blobs, expect_shape=(len(blobs), 8, 8, 3))
+        except ValueError:
+            pass
+    assert parsed >= 1  # the fuzz actually exercised the decode stage
+
+
+def test_fuzz_garbage_http_requests_never_crash(frontend):
+    """Deterministic request fuzz over the live loopback server: random
+    bodies under every framing mode must yield clean HTTP statuses (400
+    for garbage, 200 only if a mutation accidentally forms a valid
+    window) — never 5xx, never a hang, and the server must still caption
+    normally afterwards."""
+    fe, server = frontend
+    rng = np.random.default_rng(1234)
+    shape_hdr = f"{WINDOW},{FRAME[0]},{FRAME[1]},3"
+    url = f"http://127.0.0.1:{fe.port}/v1/caption"
+
+    def post(body, headers):
+        req = urllib.request.Request(url, data=body, headers=headers,
+                                     method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                r.read()
+                return r.status
+        except urllib.error.HTTPError as e:
+            e.read()
+            return e.code
+
+    valid = _window(9).tobytes()
+    codes = []
+    for i in range(120):
+        kind = i % 6
+        n = int(rng.integers(0, 512))
+        junk = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        if kind == 0:        # raw junk, no framing headers at all
+            codes.append(post(junk, {}))
+        elif kind == 1:      # junk with a syntactically valid shape header
+            codes.append(post(junk, {"Content-Type": "application/octet-stream",
+                                     "X-Frames-Shape": shape_hdr}))
+        elif kind == 2:      # junk declared as length-prefixed images
+            codes.append(post(junk, {"X-Frames-Encoding": "image"}))
+        elif kind == 3:      # junk declared as JSON
+            codes.append(post(junk, {"Content-Type": "application/json"}))
+        elif kind == 4:      # well-formed JSON, hostile field values
+            payload = rng.choice([
+                '{"shape": "not-a-list", "frames_b64": "AAAA"}',
+                '{"shape": [3, -1, 64, 3], "frames_b64": "AAAA"}',
+                '{"shape": [1e99], "frames_b64": "AAAA"}',
+                '{"frames_b64": "####"}',
+                '{"encoded_frames_b64": [42]}',
+                '{"encoded_frames_b64": ["%s"]}' % base64.b64encode(
+                    junk[:32]).decode(),
+                '{"shape": [%d, %d, %d, 3], "frames_b64": "%s", '
+                '"timeout_s": "soon"}' % (
+                    WINDOW, FRAME[0], FRAME[1],
+                    base64.b64encode(valid).decode()),
+                '[]', 'null', '{"shape": [3,64,64,3]}',
+            ])
+            codes.append(post(payload.encode(), {"Content-Type":
+                                                 "application/json"}))
+        else:                # mutate a VALID raw body (truncate / grow)
+            cut = int(rng.integers(0, len(valid) + 64))
+            body = (valid[:cut] if cut <= len(valid)
+                    else valid + junk[:cut - len(valid)])
+            codes.append(post(body, {"Content-Type":
+                                     "application/octet-stream",
+                                     "X-Frames-Shape": shape_hdr}))
+    assert all(c in (200, 400) for c in codes), sorted(set(codes))
+    assert codes.count(400) > 60  # the fuzz mostly produced rejections
+
+    # clients that lie about Content-Length or hang up mid-request must
+    # not wedge the handler thread or the acceptor
+    import socket
+    for payload in (
+            b"POST /v1/caption HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: 1000\r\n\r\nabc",     # body shorter than declared
+            b"POST /v1/caption HTTP/1.1\r\nHost: x\r\n",  # headers cut short
+            b"\x16\x03\x01junk"):                   # TLS hello at an HTTP port
+        s = socket.create_connection(("127.0.0.1", fe.port), timeout=10)
+        s.sendall(payload)
+        s.close()
+
+    # server is alive and still serves real captions after the storm
+    status, health = _get(fe, "/healthz")
+    assert status == 200 and health["ok"]
+    win = _window(10)
+    status, out = _post(fe, "/v1/caption", win.tobytes(),
+                        {"Content-Type": "application/octet-stream",
+                         "X-Frames-Shape": shape_hdr})
+    assert status == 200 and isinstance(out["caption"], str)
