@@ -25,6 +25,8 @@ Package map (reference layer ➜ here, citations are reference file:line):
 - ``decode``        ➜ ``model.py:156-317`` (greedy/beam) + ``:465-678``
 - ``distill``       ➜ ``model.py:796-1150`` (DistillationTrainer losses)
 - ``train/inference/real_time_inference/pruning_test`` ➜ ``src/*.py``
+- ``evaluate``      ➜ (new) standalone checkpoint scoring — the COCO sweep
+                      the reference ran only at epoch end (model.py:1056)
 - ``metrics``       ➜ ``src/metrics.py`` (pure-Python COCO metric suite)
 - ``data``          ➜ ``src/utils/{dataloader,video_handlers,frame_sampling_methods,io}.py``
 - ``parallel``      ➜ (new; reference had only Lightning ``strategy:'auto'``,
