@@ -173,7 +173,18 @@ def decode_compressed_frames(
         expect_frame = tuple(expect_shape[1:])
     frames = []
     for i, blob in enumerate(blobs):
-        img = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
+        if not blob:
+            # cv2.imdecode asserts (cv2.error, NOT ValueError) on an empty
+            # buffer — both network fronts map ValueError to a 400/
+            # INVALID_ARGUMENT, so an empty blob must raise ValueError here
+            # or a hostile request turns into a 500 (found by proto fuzz)
+            raise ValueError(f"frame {i}: zero-length encoded frame")
+        try:
+            img = cv2.imdecode(np.frombuffer(blob, np.uint8),
+                               cv2.IMREAD_COLOR)
+        except cv2.error as e:
+            raise ValueError(f"frame {i}: not a decodable JPEG/PNG image "
+                             f"({e})")
         if img is None:
             raise ValueError(f"frame {i}: not a decodable JPEG/PNG image")
         if expect_frame is not None and img.shape != expect_frame:

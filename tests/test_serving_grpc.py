@@ -297,3 +297,69 @@ def test_unary_compressed_bomb_rejected_with_shape_message(stack):
         client._caption(req, timeout=30)
     assert ei.value.code() == grpc.StatusCode.INVALID_ARGUMENT
     assert "decodes to" in ei.value.details()
+
+
+def test_fuzz_hostile_protos_never_kill_the_server(stack):
+    """Deterministic proto fuzz over the live stack: hostile
+    CaptionRequests (garbage frame bytes, absurd/negative-ish dims,
+    window/blob-count mismatches, junk encoded frames, huge-dim products)
+    must map to INVALID_ARGUMENT on the unary RPC and per-seq error
+    replies on the stream RPC — never INTERNAL, never a wedged server."""
+    import grpc
+
+    from rtvc_tpu.proto import caption_pb2 as pb
+
+    fe, server, client = stack
+    rng = np.random.default_rng(99)
+
+    def junk(n):
+        return rng.integers(0, 256, size=int(n), dtype=np.uint8).tobytes()
+
+    hostile = [
+        pb.CaptionRequest(),                                    # all-default
+        pb.CaptionRequest(frames=junk(7)),                      # no dims
+        pb.CaptionRequest(frames=b"", window=WINDOW,
+                          height=FRAME[0], width=FRAME[1]),     # empty body
+        pb.CaptionRequest(frames=junk(100), window=WINDOW,
+                          height=2 ** 30, width=2 ** 30),       # dim product huge
+        pb.CaptionRequest(frames=junk(100), window=2 ** 31 - 1,
+                          height=1, width=1),                   # absurd window
+        pb.CaptionRequest(encoded_frames=[junk(16)] * WINDOW),  # undecodable
+        pb.CaptionRequest(encoded_frames=[b""] * WINDOW),       # empty blobs
+        pb.CaptionRequest(encoded_frames=[junk(16)],
+                          window=WINDOW),                       # count mismatch
+        pb.CaptionRequest(frames=junk(64), encoded_frames=[junk(8)],
+                          window=WINDOW, height=FRAME[0],
+                          width=FRAME[1]),                      # both paths set
+    ] + [
+        pb.CaptionRequest(frames=junk(rng.integers(0, 512)),
+                          window=int(rng.integers(0, 8)),
+                          height=int(rng.integers(0, 256)),
+                          width=int(rng.integers(0, 256)),
+                          seq=i)
+        for i in range(30)
+    ]
+
+    for req in hostile:
+        try:
+            client._caption(req, timeout=30.0)
+        except grpc.RpcError as e:
+            assert e.code() == grpc.StatusCode.INVALID_ARGUMENT, (
+                e.code(), e.details())
+
+    # the same storm through ONE stream RPC: every window gets a per-seq
+    # error reply and the RPC survives to serve a real window at the end
+    good = _window(77)
+    expect = server.submit(good).result(timeout=120)
+    reqs = []
+    for i, req in enumerate(hostile):
+        req.seq = i + 1
+        req.stream_id = "fuzz"
+        reqs.append(req)
+    reqs.append(encode_window(good, stream_id="fuzz", seq=len(reqs) + 1))
+    replies = list(client.caption_stream(reqs))
+    assert replies[-1].caption == expect
+    tail_errors = [r for r in replies[:-1] if r.error]
+    assert len(tail_errors) >= len(hostile) - 5  # supersession may coalesce a few
+    # and the unary path still serves normally afterwards
+    assert client.caption(good, timeout_s=120.0).caption == expect

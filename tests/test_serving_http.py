@@ -367,6 +367,7 @@ def test_fuzz_garbage_http_requests_never_crash(frontend):
                 '{"shape": [1e99], "frames_b64": "AAAA"}',
                 '{"frames_b64": "####"}',
                 '{"encoded_frames_b64": [42]}',
+                '{"encoded_frames_b64": ["", "", ""]}',  # empty blobs
                 '{"encoded_frames_b64": ["%s"]}' % base64.b64encode(
                     junk[:32]).decode(),
                 '{"shape": [%d, %d, %d, 3], "frames_b64": "%s", '
