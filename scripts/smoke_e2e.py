@@ -103,6 +103,19 @@ def main():
     report["inference_wall_s"] = round(time.perf_counter() - t0, 1)
     report["inference_preds"] = len(preds)
 
+    # ---- 3b. standalone evaluation entry ---------------------------------
+    # full COCO sweep over the trained checkpoint via the evaluate CLI's
+    # API (the reference could only get this inside a training run)
+    from rtvc_tpu.evaluate import evaluate_checkpoint
+    t0 = time.perf_counter()
+    scores, outputs = evaluate_checkpoint(
+        config, loaders["test"], tokenizer, ckpt=ckpt, split="test",
+        annotations=annotations)
+    report["evaluate_wall_s"] = round(time.perf_counter() - t0, 1)
+    report["evaluate_scores"] = {k: round(v, 4) for k, v in scores.items()}
+    report["evaluate_n"] = len(outputs)
+    print(f"[evaluate] {report['evaluate_scores']}")
+
     # ---- 4. pruning sweep + pruned eval ---------------------------------
     t0 = time.perf_counter()
     pruning_mod.main(["--ckpt", ckpt, "--out_dir", "results/pruned",
@@ -120,7 +133,8 @@ def main():
     with open(out_md, "w") as f:
         f.write("# Synthetic end-to-end chain (full-size models)\n\n")
         f.write("Chain: train(4 epochs, teacher-cache) -> resume(+1) -> "
-                "inference -> pruning sweep 0.1/0.3/0.5 -> pruning_test.\n\n")
+                "inference -> evaluate (standalone COCO sweep) -> "
+                "pruning sweep 0.1/0.3/0.5 -> pruning_test.\n\n")
         f.write("Per-epoch step time, with the one-time jit compile (the\n"
                 "epoch's first dispatch) separated out so the steady-state\n"
                 "column is comparable across epochs; epoch 0 additionally\n"
@@ -137,6 +151,8 @@ def main():
             f.write(f"| {i}{note} | {n} | {fd} | {ms} | {excl:.1f} |\n")
         f.write(f"\nteacher cache: {report['teacher_cache']}\n\n")
         f.write(f"train losses: {report['train_loss']}\n\n")
+        f.write(f"standalone evaluate (test split, {report['evaluate_n']} "
+                f"videos): {json.dumps(report['evaluate_scores'])}\n\n")
         f.write("wall times (s): " + json.dumps(
             {k: v for k, v in report.items() if k.endswith('_wall_s')})
             + "\n")
