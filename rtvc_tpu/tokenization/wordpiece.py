@@ -176,10 +176,20 @@ class BertWordPieceTokenizer:
         self.cls_token_id = vocab[CLS_TOKEN]
         self.sep_token_id = vocab[SEP_TOKEN]
         self.mask_token_id = vocab[MASK_TOKEN]
+        # HF ``all_special_ids`` for BERT — [UNK] included, so
+        # ``decode(skip_special_tokens=True)`` drops unknowns exactly as the
+        # reference's HF tokenizer did before the metric sweep.
         self._special_ids = {
-            self.pad_token_id, self.cls_token_id, self.sep_token_id,
-            self.mask_token_id,
+            self.pad_token_id, self.unk_token_id, self.cls_token_id,
+            self.sep_token_id, self.mask_token_id,
         }
+        # HF never splits special-token literals appearing in raw text
+        # (tokens_trie split before _tokenize) — '[UNK]' in a caption stays
+        # one token, case-sensitively. Longest-first keeps parity if one
+        # special is a prefix of another.
+        self._never_split = sorted(
+            (PAD_TOKEN, UNK_TOKEN, CLS_TOKEN, SEP_TOKEN, MASK_TOKEN),
+            key=len, reverse=True)
 
     @property
     def vocab_size(self) -> int:
@@ -187,9 +197,30 @@ class BertWordPieceTokenizer:
 
     def tokenize(self, text: str) -> List[str]:
         out: List[str] = []
-        for word in self.basic.tokenize(text):
-            out.extend(self.wordpiece.tokenize(word))
+        for segment in self._split_on_specials(text):
+            if segment in self._never_split:
+                out.append(segment)
+                continue
+            for word in self.basic.tokenize(segment):
+                out.extend(self.wordpiece.tokenize(word))
         return out
+
+    def _split_on_specials(self, text: str) -> List[str]:
+        segments = [text]
+        for special in self._never_split:
+            next_segments: List[str] = []
+            for seg in segments:
+                if seg in self._never_split:
+                    next_segments.append(seg)
+                    continue
+                parts = seg.split(special)
+                for i, part in enumerate(parts):
+                    if i:
+                        next_segments.append(special)
+                    if part:
+                        next_segments.append(part)
+            segments = next_segments
+        return segments
 
     def convert_tokens_to_ids(self, tokens: Sequence[str]) -> List[int]:
         return [self.vocab.get(t, self.unk_token_id) for t in tokens]
@@ -204,23 +235,31 @@ class BertWordPieceTokenizer:
             ids = [self.cls_token_id] + ids + [self.sep_token_id]
         return ids
 
-    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True,
+               clean_up_tokenization_spaces: bool = True) -> str:
         tokens: List[str] = []
         for i in ids:
             i = int(i)
             if skip_special_tokens and i in self._special_ids:
                 continue
             tokens.append(self.inv_vocab.get(i, UNK_TOKEN))
-        # HF-style wordpiece join: '##' pieces glue to the previous token.
-        text = ""
-        for tok in tokens:
-            if tok.startswith("##"):
-                text += tok[2:]
-            elif not text:
-                text = tok
-            else:
-                text += " " + tok
+        # HF convert_tokens_to_string: space-join, glue '##' continuations.
+        text = " ".join(tokens).replace(" ##", "").strip()
+        if clean_up_tokenization_spaces:
+            text = self.clean_up_tokenization(text)
         return text
+
+    @staticmethod
+    def clean_up_tokenization(text: str) -> str:
+        """HF ``clean_up_tokenization`` — the reference decoded predictions
+        and GT captions with this ON (transformers 4.35.0 default), so the
+        strings entering its metric sweep had ``don ' t`` -> ``don't`` and
+        no space before ``.?!,`` (reference model.py:1013-1016)."""
+        return (text.replace(" .", ".").replace(" ?", "?")
+                .replace(" !", "!").replace(" ,", ",")
+                .replace(" ' ", "'").replace(" n't", "n't")
+                .replace(" 'm", "'m").replace(" 's", "'s")
+                .replace(" 've", "'ve").replace(" 're", "'re"))
 
     def __call__(self, text: str, padding: str = "do_not_pad",
                  truncation: bool = True, add_special_tokens: bool = False,
