@@ -156,7 +156,11 @@ class TextualHead(nn.Module):
         dense = QuantDense if cfg.quantized else nn.Dense
         self.visual_projection = dense(cfg.hidden_size, dtype=cfg.dtype,
                                        name="visual_projection")
-        self.visual_ln = FusedLayerNorm(epsilon=1e-12, dtype=cfg.dtype,
+        # eps 1e-5: the reference's 'linearLn' projection is
+        # nn.Sequential(Linear, nn.LayerNorm(hidden)) with torch's DEFAULT
+        # eps — unlike the 1e-12 BERT norms everywhere else (HF GIT's
+        # GitProjection agrees: eps = vision_config.layer_norm_eps)
+        self.visual_ln = FusedLayerNorm(epsilon=1e-5, dtype=cfg.dtype,
                                         name="visual_ln")
         self.word_embeddings = nn.Embed(cfg.vocab_size, cfg.hidden_size,
                                         dtype=cfg.dtype,
