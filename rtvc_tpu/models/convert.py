@@ -312,3 +312,144 @@ def student_params_from_torch(sd: StateDict, num_decoder_layers: int = 2,
         if not k.startswith("image_encoder.model.") and k not in used
         and not k.startswith(("pos_enc.", "decoder.norm"))]
     return params, stats, unused
+
+
+# ---------------------------------------------------------------------------
+# HuggingFace GIT (transformers GitForCausalLM state dict)
+# ---------------------------------------------------------------------------
+#
+# The reference's teacher weights (GIT_LARGE_MSRVTT model.pt, reference
+# README "Installing the GIT model weights") were also converted by the
+# transformers project into `microsoft/git-large-msrvtt` — so a connected
+# machine can bring up the REAL teacher through
+# `GitForCausalLM.from_pretrained(...)` instead of the azure blob URL.
+# These converters map that layout; tests/test_parity_hf.py pins them
+# end-to-end (whole-model logits vs transformers' own forward).
+
+def _layer_indices(sd: StateDict, pattern: str) -> int:
+    """Count consecutive layer indices for keys like pattern.format(i)."""
+    n = 0
+    while pattern.format(n) in sd:
+        n += 1
+    return n
+
+
+def clip_params_from_hf(sd: StateDict, prefix: str) -> Tuple[Dict, List[str]]:
+    """transformers CLIP/GIT vision tower (``<prefix>embeddings...``) →
+    :class:`CLIPViT` param tree."""
+    used: set = set()
+    p = prefix
+    params: Dict[str, Any] = {
+        "conv1": _conv(sd, p + "embeddings.patch_embedding", used),
+        "class_embedding": _t(sd[p + "embeddings.class_embedding"]),
+        "positional_embedding": _t(
+            sd[p + "embeddings.position_embedding.weight"]),
+        "ln_pre": _norm(sd, p + "pre_layrnorm", used),  # HF's spelling
+        "ln_post": _norm(sd, p + "post_layernorm", used),
+    }
+    used.update({p + "embeddings.class_embedding",
+                 p + "embeddings.position_embedding.weight",
+                 p + "embeddings.position_ids"})  # buffer in older dumps
+    layers = _layer_indices(
+        sd, p + "encoder.layers.{}.layer_norm1.weight")
+    for i in range(layers):
+        base = f"{p}encoder.layers.{i}"
+        params[f"resblock_{i}"] = {
+            "ln_1": _norm(sd, f"{base}.layer_norm1", used),
+            "ln_2": _norm(sd, f"{base}.layer_norm2", used),
+            "attn": {
+                "qkv": _packed_qkv(sd, (f"{base}.self_attn.q_proj",
+                                        f"{base}.self_attn.k_proj",
+                                        f"{base}.self_attn.v_proj"), used),
+                "out_proj": _linear(sd, f"{base}.self_attn.out_proj", used),
+            },
+            "mlp_fc": _linear(sd, f"{base}.mlp.fc1", used),
+            "mlp_proj": _linear(sd, f"{base}.mlp.fc2", used),
+        }
+    unused = [k for k in sd if k.startswith(p) and k not in used]
+    return params, unused
+
+
+def git_teacher_params_from_hf(sd: StateDict) -> Tuple[Dict, List[str]]:
+    """transformers ``GitForCausalLM.state_dict()`` → :class:`GITTeacher`
+    param tree. Layer counts / frame count are read off the keys."""
+    used: set = set()
+    clip, clip_unused = clip_params_from_hf(
+        sd, prefix="git.image_encoder.vision_model.")
+    params: Dict[str, Any] = {"image_encoder": clip}
+
+    # both spellings: HF used GIT's original `img_temperal_embedding`
+    # through 4.56, then fixed the typo
+    for spelled in ("git.img_temporal_embedding.{}",
+                    "git.img_temperal_embedding.{}"):
+        num_frames = _layer_indices(sd, spelled)
+        if num_frames:
+            break
+    for i in range(num_frames):
+        key = spelled.format(i)
+        params[f"img_temporal_embedding_{i}"] = _t(sd[key]).reshape(1, 1, -1)
+        used.add(key)
+
+    tx: Dict[str, Any] = {
+        "visual_projection": _linear(
+            sd, "git.visual_projection.visual_projection.0", used),
+        "visual_ln": _norm(
+            sd, "git.visual_projection.visual_projection.1", used),
+        "word_embeddings": {
+            "embedding": _t(sd["git.embeddings.word_embeddings.weight"])},
+        "position_embeddings": {
+            "embedding": _t(sd["git.embeddings.position_embeddings.weight"])},
+        "emb_norm": _norm(sd, "git.embeddings.LayerNorm", used),
+    }
+    used.update({"git.embeddings.word_embeddings.weight",
+                 "git.embeddings.position_embeddings.weight",
+                 "git.embeddings.position_ids"})
+    # logit head; weight is tied to word embeddings, so safetensors dumps
+    # may carry only one copy under either name
+    if "output.weight" in sd:
+        tx["output"] = _linear(sd, "output", used)
+    else:
+        tx["output"] = {
+            "kernel": _t(sd["git.embeddings.word_embeddings.weight"]).T,
+            "bias": _t(sd["output.bias"])}
+        used.add("output.bias")
+    num_layers = _layer_indices(
+        sd, "git.encoder.layer.{}.attention.self.query.weight")
+    for i in range(num_layers):
+        base = f"git.encoder.layer.{i}"
+        tx[f"layer_{i}"] = {
+            "qkv": _packed_qkv(sd, (f"{base}.attention.self.query",
+                                    f"{base}.attention.self.key",
+                                    f"{base}.attention.self.value"), used),
+            "attn_out": _linear(sd, f"{base}.attention.output.dense", used),
+            "attn_norm": _norm(sd, f"{base}.attention.output.LayerNorm", used),
+            "inter": _linear(sd, f"{base}.intermediate.dense", used),
+            "out": _linear(sd, f"{base}.output.dense", used),
+            "out_norm": _norm(sd, f"{base}.output.LayerNorm", used),
+        }
+    params["textual"] = tx
+    unused = clip_unused + [
+        k for k in sd
+        if not k.startswith("git.image_encoder.") and k not in used]
+    return params, unused
+
+
+def git_config_from_hf(cfg) -> Dict[str, Any]:
+    """transformers ``GitConfig`` (or its dict) → :class:`GITConfig` kwargs."""
+    if hasattr(cfg, "to_dict"):
+        cfg = cfg.to_dict()
+    vis = cfg["vision_config"]
+    return dict(
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        num_layers=cfg["num_hidden_layers"],
+        attention_heads=cfg["num_attention_heads"],
+        feedforward_size=cfg["intermediate_size"],
+        visual_feature_size=vis["hidden_size"],
+        max_caption_length=cfg["max_position_embeddings"],
+        num_image_with_embedding=cfg["num_image_with_embedding"] or 1,
+        clip_kwargs=dict(
+            image_size=vis["image_size"], patch_size=vis["patch_size"],
+            width=vis["hidden_size"], layers=vis["num_hidden_layers"],
+            heads=vis["num_attention_heads"]),
+    )

@@ -14,6 +14,10 @@ Stages (each independently re-runnable, all offline once artifacts exist):
 
   convert   model.pt  → orbax teacher ckpt  (zero unplaced / unfilled keys)
             timm tiny_vit_21m_224 sd → orbax encoder ckpt
+  hf-teacher microsoft/git-large-msrvtt (transformers' conversion of the
+            SAME snapshot) → orbax teacher ckpt via
+            convert.git_teacher_params_from_hf; cross-checks leaf-exact
+            against the model.pt conversion when both exist
   parity    full-teacher forced logits: pure-torch replica (the
             tests/test_convert_fullsize.py harness) running the REAL
             weights vs the JAX teacher running the CONVERTED weights, on
@@ -73,6 +77,14 @@ ARTIFACTS = {
         "note": "reference config.py:77 via timm.create_model("
                 "pretrained=True); plain torch state dict",
     },
+    "hf_git_large_msrvtt": {
+        "url": "https://huggingface.co/microsoft/git-large-msrvtt",
+        "path": "hf_git_large_msrvtt",  # HF cache dir (from_pretrained)
+        "note": "transformers' conversion of the SAME GIT_LARGE_MSRVTT "
+                "snapshot — alternative teacher source if the azure blob "
+                "rots; converted via convert.git_teacher_params_from_hf "
+                "(pinned by tests/test_parity_hf.py)",
+    },
     "bert_vocab": {
         "url": ("https://huggingface.co/bert-base-uncased/resolve/main/"
                 "vocab.txt"),
@@ -105,9 +117,9 @@ def write_manifest():
     for name, spec in ARTIFACTS.items():
         path = os.path.join(ART, spec["path"])
         entry = dict(spec)
-        entry["sha256"] = _sha256(path) if os.path.exists(path) else \
+        entry["sha256"] = _sha256(path) if os.path.isfile(path) else \
             "<recorded at fetch time>"
-        entry["bytes"] = os.path.getsize(path) if os.path.exists(path) \
+        entry["bytes"] = os.path.getsize(path) if os.path.isfile(path) \
             else None
         manifest[name] = entry
     out = os.path.join(ART, "MANIFEST.json")
@@ -237,6 +249,86 @@ def stage_parity(git_sd=None):
           f"(beam caption ids: {preds[0].tolist()})")
 
 
+def stage_hf_teacher(dry_run=False):
+    """Alternative real-teacher source: transformers' GitForCausalLM.
+
+    ``microsoft/git-large-msrvtt`` carries the SAME weights as the
+    reference's model.pt (transformers converted that snapshot), so this
+    stage gives a second, hub-hosted bring-up path. Online it converts
+    the real checkpoint (and, when the model.pt conversion already ran,
+    cross-checks the two trees leaf-by-leaf); --dry-run drives the same
+    plumbing through a tiny random GitForCausalLM, no network."""
+    import numpy as np
+    import torch
+    import transformers
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtvc_tpu.data.io import save_checkpoint
+    from rtvc_tpu.models import convert
+    from rtvc_tpu.models.clip_vit import CLIPViTConfig
+    from rtvc_tpu.models.git_teacher import GITConfig, GITTeacher
+
+    if dry_run:
+        hf_cfg = transformers.GitConfig(
+            vision_config=dict(hidden_size=64, intermediate_size=256,
+                               num_hidden_layers=2, num_attention_heads=4,
+                               image_size=32, patch_size=16,
+                               hidden_act="quick_gelu"),
+            vocab_size=99, hidden_size=48, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=192,
+            max_position_embeddings=64, num_image_with_embedding=3)
+        hf = transformers.GitForCausalLM(hf_cfg)
+    else:
+        hf = transformers.GitForCausalLM.from_pretrained(
+            "microsoft/git-large-msrvtt",
+            cache_dir=os.path.join(ART, "hf_git_large_msrvtt"))
+        hf_cfg = hf.config
+
+    with torch.no_grad():
+        sd = {k: v for k, v in hf.state_dict().items()}
+    params, unused = convert.git_teacher_params_from_hf(sd)
+    assert not unused, f"unplaced HF keys: {unused[:10]}..."
+
+    kw = convert.git_config_from_hf(hf_cfg)
+    clip_kwargs = kw.pop("clip_kwargs")
+    c = GITConfig(clip=CLIPViTConfig(**clip_kwargs), **kw)
+    teacher = GITTeacher(c)
+    f = c.num_image_with_embedding
+    ref = jax.eval_shape(teacher.init, jax.random.PRNGKey(0),
+                         jax.ShapeDtypeStruct(
+                             (1, f, c.clip.image_size, c.clip.image_size, 3),
+                             jnp.float32),
+                         jax.ShapeDtypeStruct((1, 8), jnp.int32))
+    got = jax.tree.map(lambda a: tuple(np.shape(a)), params)
+    want = jax.tree.map(lambda a: tuple(np.shape(a)), ref["params"])
+    assert got == want, "HF conversion left unfilled/mis-shaped leaves"
+    if dry_run:
+        print("hf-teacher dry-run: converter clean on a random "
+              "GitForCausalLM (zero unused keys, all leaves shaped)")
+        return
+
+    save_checkpoint(os.path.join(ART, "converted", "teacher_hf"),
+                    {"params": params})
+    print(f"hf teacher: {len(jax.tree.leaves(params))} leaves -> "
+          "artifacts/converted/teacher_hf")
+
+    # cross-check vs the model.pt conversion when it exists: the two
+    # sources hold the same floats, so every leaf must match exactly
+    mp = os.path.join(ART, "converted", "teacher")
+    if os.path.isdir(mp):
+        from rtvc_tpu.data.io import restore_checkpoint
+        other = restore_checkpoint(mp)["params"]
+        deltas = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a, np.float32)
+                                      - np.asarray(b, np.float32)).max()),
+            params, other)
+        worst = max(jax.tree.leaves(deltas))
+        print(f"cross-check vs model.pt conversion: max |delta| {worst:.3e}")
+        assert worst < 1e-5, "HF and model.pt teachers disagree"
+
+
 def stage_tokenizer():
     from rtvc_tpu.tokenization import BertWordPieceTokenizer
 
@@ -301,19 +393,23 @@ def main(argv=None):
                     help="offline: fake state dicts through the convert "
                          "stage + write the fetch manifest")
     ap.add_argument("--all", action="store_true")
-    for st in ("convert", "parity", "tokenizer", "wordnet", "metrics"):
+    for st in ("convert", "hf-teacher", "parity", "tokenizer", "wordnet",
+               "metrics"):
         ap.add_argument(f"--{st}", action="store_true")
     a = ap.parse_args(argv)
 
     write_manifest()
     if a.dry_run:
         stage_convert(dry_run=True)
+        stage_hf_teacher(dry_run=True)
         print("dry-run OK: converters clean on full-size fake checkpoints; "
               "run without --dry-run on a connected machine")
         return
     git_sd = None
     if a.all or a.convert:
         git_sd = stage_convert()
+    if a.all or a.hf_teacher:
+        stage_hf_teacher()
     if a.all or a.parity:
         stage_parity(git_sd)
     if a.all or a.tokenizer:

@@ -22,9 +22,9 @@ def test_bringup_shell_script_parses():
 
 
 def test_bringup_manifest_and_dryrun(tmp_path, monkeypatch):
-    """--dry-run offline: writes the fetch manifest (4 artifacts, https
+    """--dry-run offline: writes the fetch manifest (5 artifacts, https
     URLs, provenance notes) and runs the converters clean on the fake
-    full-size checkpoints."""
+    full-size checkpoints (incl. the HF GitForCausalLM path)."""
     monkeypatch.setenv("ART_DIR", str(tmp_path / "artifacts"))
     env = dict(os.environ, ART_DIR=str(tmp_path / "artifacts"),
                JAX_PLATFORMS="cpu")
@@ -36,9 +36,11 @@ def test_bringup_manifest_and_dryrun(tmp_path, monkeypatch):
     assert "dry-run OK" in proc.stdout
     assert "0 unused, 0 unfilled" in proc.stdout
 
+    assert "hf-teacher dry-run: converter clean" in proc.stdout
+
     manifest = json.load(open(tmp_path / "artifacts" / "MANIFEST.json"))
-    assert set(manifest) == {"git_large_msrvtt", "timm_tinyvit_21m",
-                             "bert_vocab", "wordnet"}
+    assert set(manifest) == {"git_large_msrvtt", "hf_git_large_msrvtt",
+                             "timm_tinyvit_21m", "bert_vocab", "wordnet"}
     for entry in manifest.values():
         assert entry["url"].startswith("https://")
         assert entry["path"] and entry["note"]

@@ -23,9 +23,13 @@ in this repo wrote:
   Matching HF's GitForCausalLM logits therefore pins our whole
   teacher-forced path against the reference's.
 
-Weight mapping happens in the test (HF naming -> our flax tree); any
-transposition/ordering mistake in our modules or the mapping shows up as
-a numeric mismatch on random inputs.
+The weight mapping under test is the SHIPPED converter
+(``convert.clip_params_from_hf`` / ``convert.git_teacher_params_from_hf``)
+— the same functions a connected machine uses to bring up the real
+``microsoft/git-large-msrvtt`` weights (converted by transformers from
+the reference's own GIT_LARGE_MSRVTT model.pt snapshot). Any
+transposition/ordering mistake in our modules or the converter shows up
+as a numeric mismatch on random inputs.
 """
 
 import numpy as np
@@ -37,6 +41,7 @@ transformers = pytest.importorskip("transformers")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+from rtvc_tpu.models import convert  # noqa: E402
 from rtvc_tpu.models.clip_vit import CLIPViT, CLIPViTConfig  # noqa: E402
 
 
@@ -44,39 +49,11 @@ def _n(t):
     return np.asarray(t.detach().cpu().numpy())
 
 
-def _ln(mod):
-    return {"scale": _n(mod.weight), "bias": _n(mod.bias)}
-
-
-def _dense(mod):
-    return {"kernel": _n(mod.weight).T, "bias": _n(mod.bias)}
-
-
-def _clip_vision_params(vm):
-    """transformers CLIP/GIT vision transformer -> CLIPViT param tree."""
-    params = {
-        "conv1": {"kernel": _n(vm.embeddings.patch_embedding.weight)
-                  .transpose(2, 3, 1, 0)},
-        "class_embedding": _n(vm.embeddings.class_embedding),
-        "positional_embedding": _n(vm.embeddings.position_embedding.weight),
-        "ln_pre": _ln(vm.pre_layrnorm),
-        "ln_post": _ln(vm.post_layernorm),
-    }
-    for i, layer in enumerate(vm.encoder.layers):
-        a = layer.self_attn
-        qkv_kernel = np.concatenate(
-            [_n(a.q_proj.weight).T, _n(a.k_proj.weight).T,
-             _n(a.v_proj.weight).T], axis=1)
-        qkv_bias = np.concatenate(
-            [_n(a.q_proj.bias), _n(a.k_proj.bias), _n(a.v_proj.bias)])
-        params[f"resblock_{i}"] = {
-            "ln_1": _ln(layer.layer_norm1),
-            "attn": {"qkv": {"kernel": qkv_kernel, "bias": qkv_bias},
-                     "out_proj": _dense(a.out_proj)},
-            "ln_2": _ln(layer.layer_norm2),
-            "mlp_fc": _dense(layer.mlp.fc1),
-            "mlp_proj": _dense(layer.mlp.fc2),
-        }
+def _clip_vision_params(module, prefix):
+    """Run the shipped HF converter over the module's state dict."""
+    params, unused = convert.clip_params_from_hf(
+        {k: v for k, v in module.state_dict().items()}, prefix=prefix)
+    assert not unused, unused
     return jax.tree.map(jnp.asarray, params)
 
 
@@ -92,7 +69,7 @@ def test_clip_vit_matches_hf_clip_vision(width, heads, layers):
 
     ours = CLIPViT(CLIPViTConfig(image_size=32, patch_size=16, width=width,
                                  layers=layers, heads=heads))
-    params = _clip_vision_params(hf.vision_model)
+    params = _clip_vision_params(hf, prefix="vision_model.")
 
     rng = np.random.RandomState(1)
     x = rng.randn(2, 3, 32, 32).astype(np.float32)
@@ -118,44 +95,11 @@ def test_clip_vit_matches_hf_clip_vision(width, heads, layers):
             rtol=2e-5, atol=2e-5, err_msg=f"block {i}")
 
 
-def _bert_layer_params(layer):
-    """transformers GitLayer (BERT post-norm layer) -> our BertLayer tree."""
-    a = layer.attention
-    qkv_kernel = np.concatenate(
-        [_n(a.self.query.weight).T, _n(a.self.key.weight).T,
-         _n(a.self.value.weight).T], axis=1)
-    qkv_bias = np.concatenate(
-        [_n(a.self.query.bias), _n(a.self.key.bias), _n(a.self.value.bias)])
-    return {
-        "qkv": {"kernel": qkv_kernel, "bias": qkv_bias},
-        "attn_out": _dense(a.output.dense),
-        "attn_norm": _ln(a.output.LayerNorm),
-        "inter": _dense(layer.intermediate.dense),
-        "out": _dense(layer.output.dense),
-        "out_norm": _ln(layer.output.LayerNorm),
-    }
-
-
 def _git_teacher_params(hf):
-    """transformers GitForCausalLM state -> GITTeacher param tree."""
-    git = hf.git
-    textual = {
-        "visual_projection": _dense(git.visual_projection.visual_projection[0]),
-        "visual_ln": _ln(git.visual_projection.visual_projection[1]),
-        "word_embeddings": {"embedding": _n(git.embeddings.word_embeddings.weight)},
-        "position_embeddings": {
-            "embedding": _n(git.embeddings.position_embeddings.weight)},
-        "emb_norm": _ln(git.embeddings.LayerNorm),
-        "output": _dense(hf.output),
-    }
-    for i, layer in enumerate(git.encoder.layer):
-        textual[f"layer_{i}"] = _bert_layer_params(layer)
-    params = {
-        "image_encoder": _clip_vision_params(git.image_encoder.vision_model),
-        "textual": textual,
-    }
-    for i, emb in enumerate(git.img_temporal_embedding):
-        params[f"img_temporal_embedding_{i}"] = _n(emb)
+    """Run the shipped HF converter over GitForCausalLM's state dict."""
+    params, unused = convert.git_teacher_params_from_hf(
+        {k: v for k, v in hf.state_dict().items()})
+    assert not unused, unused
     return jax.tree.map(jnp.asarray, params)
 
 
