@@ -51,22 +51,48 @@ _PTB_PUNCT = {
     ".", "?", "!", ",", ":", "-", "--", "...", ";",
 }
 
-_CLITICS = re.compile(r"\b(can)(not)\b|\b(\w+)(n't|'ll|'re|'ve|'s|'m|'d)\b",
+_CLITICS = re.compile(r"\b(\w+)(n't|'ll|'re|'ve|'s|'m|'d)\b",
                       flags=re.IGNORECASE)
+
+# PTB "assimilations": multi-word contractions the Stanford lexer splits.
+_ASSIMILATIONS = re.compile(
+    r"\b(cannot|gonna|gotta|wanna|lemme|gimme)\b")
+_ASSIM_SPLIT = {"cannot": "can not", "gonna": "gon na", "gotta": "got ta",
+                "wanna": "wan na", "lemme": "lem me", "gimme": "gim me"}
+
+# Stanford normalizes brackets/quotes to PTB names (all on the removal
+# list above, so they vanish from scored tokens — unlike a raw '"').
+_BRACKETS = {"(": "-LRB-", ")": "-RRB-", "{": "-LCB-", "}": "-RCB-",
+             "[": "-LRB-", "]": "-RRB-", '"': "''"}
+
+_PTB_TOKEN = re.compile(
+    r"(?:[a-z]\.){2,}"            # acronyms stay whole: u.s.
+    r"|\d+(?:[.,:]\d+)*"          # numbers keep internal . , : — 3.5, 3,000
+    r"|n't|'[a-z]+"               # clitic pieces after the pre-split
+    r"|[a-z0-9]+(?:[-'][a-z0-9]+)*"  # words; hyphens/apostrophes internal
+    r"|--|\.\.\."                 # PTB multi-char punct
+    r"|[^\sa-z0-9]"               # any other symbol, one token each
+)
 
 
 def ptb_tokenize(caption: str) -> List[str]:
-    """Lowercase, split clitics, isolate punctuation, drop PTB punct list."""
+    """coco-caption preprocessing: Stanford PTBTokenizer ``-lowerCase``
+    (reference src/metrics.py via pycocoevalcap) then the wrapper's
+    punctuation removal. Matches the jar's lexer on the cases that reach
+    caption n-grams: clitics split (``can't`` -> ``ca n't``),
+    assimilations split (``gonna`` -> ``gon na``), decimal/grouped
+    numbers stay whole (``3.5``, ``3,000``), acronyms stay whole
+    (``u.s.``), ``$``/``%`` split off, quotes/brackets normalize to PTB
+    names and are then removed. Cross-checked against nltk's independent
+    TreebankWordTokenizer (tests/test_metrics.py)."""
     text = caption.lower().strip()
     # split standard clitics the way PTB does: don't -> do n't, it's -> it 's
     def _split(m: re.Match) -> str:
-        groups = [g for g in m.groups() if g]
-        return " ".join(groups)
+        return m.group(1) + " " + m.group(2)
     text = _CLITICS.sub(_split, text)
-    # isolate punctuation characters as separate tokens
-    text = re.sub(r"([\.\,\!\?\;\:\"\(\)\[\]\{\}])", r" \1 ", text)
-    tokens = [t for t in text.split() if t not in _PTB_PUNCT]
-    return tokens
+    text = _ASSIMILATIONS.sub(lambda m: _ASSIM_SPLIT[m.group(1)], text)
+    tokens = [_BRACKETS.get(t, t) for t in _PTB_TOKEN.findall(text)]
+    return [t for t in tokens if t not in _PTB_PUNCT]
 
 
 def _ngrams(tokens: Sequence[str], n: int) -> Counter:

@@ -551,3 +551,50 @@ def test_set_wordnet_path_installs_module_default(tmp_path):
     finally:
         metrics.set_wordnet_path("")
     assert metrics.meteor_lite(gts, res) == base
+
+
+def test_ptb_tokenize_matches_nltk_treebank():
+    """Cross-check vs nltk's independent TreebankWordTokenizer (the same
+    Penn-Treebank spec the Stanford jar implements). One documented
+    deviation where OURS follows the jar and nltk does not: the jar
+    normalizes brackets to -LRB-/-RRB-/... (then removed by the
+    pycocoevalcap punctuation list), so we map nltk's raw bracket tokens
+    through the same normalization before comparing."""
+    nltk_tok = pytest.importorskip("nltk.tokenize")
+    tb = nltk_tok.TreebankWordTokenizer()
+
+    def nltk_ptb(s):
+        toks = [metrics._BRACKETS.get(t, t)
+                for t in tb.tokenize(s.lower().strip())]
+        return [t for t in toks if t not in metrics._PTB_PUNCT]
+
+    corpus = [
+        "A man, running!", "don't stop", "it's a dog's life",
+        "the man (in red) runs", "a 3.5 km run", "cars, trucks, and buses",
+        'he said "hello world"', "a semi-final match", "i'll go; you won't",
+        "two-thirds of the cake", "cannot stop won't stop",
+        "u.s. army soldier", "the cat -- a tabby -- sleeps", "50% off sale",
+        "a man's best friend...", "she's gonna win", "what?!",
+        "3,000 people", "it costs $5.50", "o'clock chimes",
+        "a man is playing guitar", "12:30 on the clock",
+        "x-ray & mri scans", "they're gonna play soccer",
+        "a dog; a cat: two pets", "we've been here",
+        "i'm sure he'd agree", "she'll sing",
+    ]
+    for s in corpus:
+        assert metrics.ptb_tokenize(s) == nltk_ptb(s), repr(s)
+
+
+def test_ptb_tokenize_jar_semantics():
+    """The cases where the jar's behavior is pinned directly (numbers,
+    acronyms, currency/percent, assimilations, quote removal)."""
+    f = metrics.ptb_tokenize
+    assert f("a 3.5 km run") == ["a", "3.5", "km", "run"]
+    assert f("3,000 people") == ["3,000", "people"]
+    assert f("it costs $5.50") == ["it", "costs", "$", "5.50"]
+    assert f("50% off") == ["50", "%", "off"]
+    assert f("u.s. army") == ["u.s.", "army"]
+    assert f("can't and cannot") == ["ca", "n't", "and", "can", "not"]
+    assert f("she's gonna win") == ["she", "'s", "gon", "na", "win"]
+    assert f('he said "hi"') == ["he", "said", "hi"]  # quotes vanish
+    assert f("the man (in red)") == ["the", "man", "in", "red"]
