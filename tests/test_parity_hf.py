@@ -182,3 +182,37 @@ def test_git_teacher_matches_hf_git_video():
         np.testing.assert_array_equal(np.asarray(tok),
                                       _n(gen.sequences[:, t + 1]),
                                       err_msg=f"token {t}")
+
+
+def test_top_k_top_p_filtering_matches_hf_warpers():
+    """decode.top_k_top_p_filtering vs transformers' TopKLogitsWarper /
+    TopPLogitsWarper — the modern form of the exact legacy HF function the
+    reference's sampling beam vendored via generativeimage2text
+    (reference model.py:537). Fuzzed over k/p combinations; -inf patterns
+    must coincide and surviving logits pass through untouched."""
+    from transformers.generation import TopKLogitsWarper, TopPLogitsWarper
+
+    from rtvc_tpu.decode import top_k_top_p_filtering
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        logits = rng.randn(3, 50).astype(np.float32) * 3
+        top_k = int(rng.choice([0, 1, 3, 10, 49]))
+        top_p = float(rng.choice([0.0, 0.1, 0.5, 0.9, 0.99]))
+        keep = int(rng.choice([1, 2]))
+
+        want = torch.from_numpy(logits)
+        if top_k > 0:
+            want = TopKLogitsWarper(
+                top_k, min_tokens_to_keep=keep)(None, want)
+        if top_p > 0.0:
+            want = TopPLogitsWarper(
+                top_p, min_tokens_to_keep=keep)(None, want)
+        want = want.numpy()
+
+        got = np.asarray(top_k_top_p_filtering(
+            jnp.asarray(logits), top_k=top_k, top_p=top_p,
+            min_tokens_to_keep=keep))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6,
+                                   err_msg=f"trial {trial} k={top_k} "
+                                           f"p={top_p} keep={keep}")
