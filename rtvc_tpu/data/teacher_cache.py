@@ -43,8 +43,12 @@ def _atomic_save(path: str, save_fn) -> None:
     while the train loop's miss path writes them — a reader must never
     see a half-written file, and a SIGKILL mid-write must not leave a
     permanently corrupt entry every later epoch crashes on. os.replace
-    is atomic on POSIX."""
-    tmp = path + f".tmp{os.getpid()}"
+    is atomic on POSIX. The temp name carries pid AND thread id: two
+    threads of one process saving the same key must not share a temp path
+    (they would clobber/unlink each other's half-written file)."""
+    import threading
+
+    tmp = path + f".tmp{os.getpid()}_{threading.get_ident()}"
     try:
         save_fn(tmp)
         # np.save/np.savez append .npy/.npz to names without that suffix

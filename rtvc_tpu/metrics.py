@@ -65,13 +65,17 @@ _ASSIM_SPLIT = {"cannot": "can not", "gonna": "gon na", "gotta": "got ta",
 _BRACKETS = {"(": "-LRB-", ")": "-RRB-", "{": "-LCB-", "}": "-RCB-",
              "[": "-LRB-", "]": "-RRB-", '"': "''"}
 
+# Letter classes are Unicode ([^\W\d_] = any letter), not [a-z]: the
+# Stanford lexer keeps accented words whole ('naïve' is ONE token), so an
+# ASCII-only word class would shred any non-ASCII caption into per-symbol
+# tokens and corrupt its n-gram counts.
 _PTB_TOKEN = re.compile(
-    r"(?:[a-z]\.){2,}"            # acronyms stay whole: u.s.
+    r"(?:[^\W\d_]\.){2,}"         # acronyms stay whole: u.s.
     r"|\d+(?:[.,:]\d+)*"          # numbers keep internal . , : — 3.5, 3,000
-    r"|n't|'[a-z]+"               # clitic pieces after the pre-split
-    r"|[a-z0-9]+(?:[-'][a-z0-9]+)*"  # words; hyphens/apostrophes internal
+    r"|n't|'[^\W\d_]+"            # clitic pieces after the pre-split
+    r"|[^\W_]+(?:[-'][^\W_]+)*"   # words; hyphens/apostrophes internal
     r"|--|\.\.\."                 # PTB multi-char punct
-    r"|[^\sa-z0-9]"               # any other symbol, one token each
+    r"|[^\w\s]|_"                 # any other symbol, one token each
 )
 
 

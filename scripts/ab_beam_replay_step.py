@@ -66,9 +66,13 @@ def main():
                  "caption": jnp.asarray(caps_np)}
             if replay:
                 # what CacheReplayFeed attaches on a hit: beam predictions
-                # + full-vocab consensus rows, already on device
-                preds = rng.integers(1000, 30000,
-                                     size=(batch, max_steps)).astype(np.int32)
+                # + full-vocab consensus rows, already on device. Live
+                # beam output has max_steps+1 columns (BOS at column 0) —
+                # mirror that so both timed programs see the same number
+                # of decode steps.
+                preds = rng.integers(
+                    1000, 30000, size=(batch, max_steps + 1)).astype(np.int32)
+                preds[:, 0] = 101  # BOS column, as the real cache stores it
                 preds[:, 10:] = 102  # SEP tail like a real beam output
                 b["teacher_beam_predictions"] = jnp.asarray(preds)
                 b["teacher_kd_logits"] = jnp.asarray(
