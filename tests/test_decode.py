@@ -82,6 +82,7 @@ def _naive_beam(model, variables, frames, max_len, k):
     return seqs[np.arange(b), best]
 
 
+@pytest.mark.slow
 def test_greedy_matches_naive(student_setup):
     model, variables, frames = student_setup
     max_len = 6

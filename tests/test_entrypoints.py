@@ -127,6 +127,7 @@ def test_shrink_frame_pixel_identity():
     assert shrink_frame(small).shape == (180, 240, 3)
 
 
+@pytest.mark.slow
 def test_realtime_streaming_headless(student_ckpt, tmp_path):
     cv2 = pytest.importorskip("cv2")
     from rtvc_tpu.real_time_inference import run_realtime

@@ -45,6 +45,7 @@ def _direct_tokens(model, variables, windows, beam=0):
     return np.asarray(step(variables, jnp.asarray(windows)))
 
 
+@pytest.mark.slow
 def test_bundle_roundtrip_matches_live_program(exported_student, tmp_path):
     model, variables = exported_student
     out = str(tmp_path / "bundle")

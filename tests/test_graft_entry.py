@@ -15,6 +15,7 @@ def _load_graft():
     return mod
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8(capsys):
     graft = _load_graft()
     graft.dryrun_multichip(8)  # dp=4, tp=2 over the virtual CPU mesh
@@ -22,12 +23,14 @@ def test_dryrun_multichip_8(capsys):
     assert "OK" in out and "tp=2" in out
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_2(capsys):
     graft = _load_graft()
     graft.dryrun_multichip(2)  # dp=2, tp=1
     assert "OK" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_dryrun_is_hermetic_never_initializes_tpu_client():
     """Round-1 driver failure: the dryrun placed data on the default (TPU)
     backend and died on a libtpu client/terminal version skew. The fix must

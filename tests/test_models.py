@@ -203,6 +203,7 @@ def test_get_git_model_factory():
     assert base.config.visual_feature_size == 768
 
 
+@pytest.mark.slow
 def test_remat_encoder_same_outputs():
     frames = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 64, 64, 3))
     y = jnp.array([[101, 5, 6]], jnp.int32)

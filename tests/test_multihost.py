@@ -75,6 +75,7 @@ def _run_workers(tmp_path, attempt):
     return codes, dumps
 
 
+@pytest.mark.slow
 def test_two_process_distributed_loss_matches_single(tmp_path):
     # Two attempts: the first run warms the persistent XLA compile cache
     # even when it dies in the Gloo rendezvous, so a starvation-induced

@@ -106,6 +106,7 @@ def test_dp_mesh_serving_matches_single_device(served_student):
     assert max(sizes) > 1  # coalesced across the sharded program
 
 
+@pytest.mark.slow
 def test_beam_serving_matches_direct_beam(served_student):
     """beam=K routes the bucket-compiled program through student_beam; a
     served caption must equal decoding the same window directly, and the

@@ -60,6 +60,7 @@ def setup():
     return student, teacher, batch, tx, state, tvars
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_learns(setup):
     student, teacher, batch, tx, state, tvars = setup
     step = make_train_step(student, teacher, tx, donate=False)
@@ -74,6 +75,7 @@ def test_train_step_runs_and_learns(setup):
     assert int(state.step) == 6
 
 
+@pytest.mark.slow
 def test_train_step_all_losses_enabled(setup):
     student, teacher, batch, tx, state, tvars = setup
     weights = LossWeights(kl=1, ce=1, fmap=1, final_enc=1, decoder=1)
@@ -83,6 +85,7 @@ def test_train_step_all_losses_enabled(setup):
         assert key in m and np.isfinite(float(m[key])), key
 
 
+@pytest.mark.slow
 def test_train_step_ce_teacher_loss(setup):
     """Loss 5 wired end-to-end: the step runs the teacher's beam search
     in-graph and trains on its generated tokens; the loss dict must contain
@@ -100,6 +103,7 @@ def test_train_step_ce_teacher_loss(setup):
     assert losses[-1] < losses[0]  # student moves toward the teacher tokens
 
 
+@pytest.mark.slow
 def test_train_step_beam_consensus_kd(setup):
     """kd_source='beam_consensus': the KL distills against per-word
     best-beam teacher logit rows (reference teacher.forward path)."""
@@ -113,6 +117,7 @@ def test_train_step_beam_consensus_kd(setup):
     assert float(m2["total"]) < float(m["total"])
 
 
+@pytest.mark.slow
 def test_data_parallel_sharded_step(setup):
     student, teacher, batch, tx, state, tvars = setup
     mesh = make_mesh((-1, 1))
@@ -133,6 +138,7 @@ def test_data_parallel_sharded_step(setup):
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device(setup):
     """The dp-sharded step must produce the same loss as unsharded."""
     student, teacher, batch, tx, state, tvars = setup
@@ -162,6 +168,7 @@ def test_plateau_scheduler():
     assert s2.update(2.0) == 0.015  # clipped at min_lr
 
 
+@pytest.mark.slow
 def test_full_train_orchestration(tmp_path):
     """One-epoch end-to-end train(): loop, eval, transcripts, checkpoints."""
     from rtvc_tpu.config import from_dict
@@ -195,6 +202,7 @@ def test_full_train_orchestration(tmp_path):
     assert "Validation Results" in text and "BLEU@4" in text
 
 
+@pytest.mark.slow
 def test_ragged_batch_trimmed_not_replicated(tmp_path):
     """A batch not divisible by dp must be trimmed to a dp multiple (and
     logged), never silently re-placed as replicated (VERDICT r1 weak #5)."""
@@ -232,6 +240,7 @@ def test_ragged_batch_trimmed_not_replicated(tmp_path):
               teacher_vars=tvars, mesh=mesh, max_epochs=1)
 
 
+@pytest.mark.slow
 def test_ragged_batch_trimmed_for_grad_accum(tmp_path):
     """A tail batch not divisible by grad_accum must be trimmed by the
     loop (logged), never die on the step's trace-time divisibility error
@@ -266,6 +275,7 @@ def test_ragged_batch_trimmed_for_grad_accum(tmp_path):
     assert "trimming ragged batch 3 -> 2" in text
 
 
+@pytest.mark.slow
 def test_onecycle_scheduler(tmp_path):
     """cfg.train.scheduler='onecycle' — the reference CONSTRUCTED a
     OneCycleLR(max_lr=0.01, total_steps=epochs*steps) its
@@ -316,6 +326,7 @@ def test_onecycle_scheduler(tmp_path):
               max_epochs=2)
 
 
+@pytest.mark.slow
 def test_preemption_checkpoint_and_resume(tmp_path):
     """SIGTERM mid-epoch → full train state saved to ckpt_preempt, clean
     early return (no test eval), handlers restored; resuming from the
@@ -570,6 +581,7 @@ def test_teacher_cache_eviction(tmp_path):
     assert cache.get_batch([cache.key("v", 5)]) is not None  # newest kept
 
 
+@pytest.mark.slow
 def test_train_with_teacher_cache_matches_uncached(tmp_path):
     """Caching must not change training: two 2-epoch runs (cached vs live
     teacher) produce identical loss histories, and epoch 2 is all hits."""
@@ -617,6 +629,7 @@ def test_external_logits_rejects_activation_losses():
                         external_teacher_logits=True)
 
 
+@pytest.mark.slow
 def test_evaluate_with_beam_size(tmp_path):
     """eval_beam_size > 0 routes evaluation through the student's beam
     search (ROADMAP #13; the reference never evaluated with beam)."""
@@ -720,6 +733,7 @@ def test_teacher_cache_topk_lossless_when_k_covers_vocab(tmp_path):
     assert abs(kl_full - kl_topk) < 1e-5, (kl_full, kl_topk)
 
 
+@pytest.mark.slow
 def test_train_with_topk_teacher_cache(tmp_path):
     """Two-epoch run with the top-K cache: epoch 2 hits, losses finite, and
     hit-epoch losses equal miss-epoch losses (the miss path replays through
@@ -855,6 +869,7 @@ def test_set_learning_rate_preserves_aval():
     assert float(new) == pytest.approx(5e-4)
 
 
+@pytest.mark.slow
 def test_multi_step_dispatch_matches_singles(setup):
     """steps_per_dispatch: the lax.scan multi-step program must reproduce
     K single dispatches exactly — same per-step losses, same final params
@@ -903,6 +918,7 @@ def test_multi_step_dispatch_matches_singles(setup):
                                    rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_train_loop_steps_per_dispatch(tmp_path):
     """train() with cfg.tpu.steps_per_dispatch=2 over 5 batches (two
     groups of 2 + one tail single per epoch) reproduces the
@@ -940,6 +956,7 @@ def test_train_loop_steps_per_dispatch(tmp_path):
     np.testing.assert_allclose(h2, h1, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_train_loop_spd_batch_size_change(tmp_path):
     """steps_per_dispatch grouping across a MID-EPOCH batch-size change:
     sizes [8,8,4,4,8] with spd=2 must regroup at the new size (not fall
@@ -983,6 +1000,7 @@ def test_train_loop_spd_batch_size_change(tmp_path):
         np.testing.assert_allclose(h2, h1, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_train_loop_spd_caption_length_change(tmp_path):
     """The group key is the FULL array signature, not just the batch
     size: two same-size batches whose captions are padded to different
@@ -1054,6 +1072,7 @@ def test_train_loop_spd_tail_records_first_dispatch(tmp_path):
 
 # ---------------------------------------------------------------- grad accum
 
+@pytest.mark.slow
 def test_grad_accum_matches_full_batch_on_tiled_batch():
     """grad_accum=M on a batch that is one microbatch tiled M times must
     reproduce the grad_accum=1 full-batch step exactly: duplication leaves
@@ -1097,6 +1116,7 @@ def test_grad_accum_matches_full_batch_on_tiled_batch():
                                    rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_grad_accum_runs_and_learns(setup):
     """Adam + dropout + accumulation: one optimizer update per call, finite
     metrics, and a fixed batch overfits."""
@@ -1120,6 +1140,7 @@ def test_grad_accum_requires_divisible_batch(setup):
         step(state, tvars, batch, jax.random.PRNGKey(0))  # b=8, M=3
 
 
+@pytest.mark.slow
 def test_grad_accum_composes_with_dp_mesh(setup):
     """docs/PARALLELISM.md claims accumulation composes with dp sharding:
     the dp-sharded grad_accum=2 step must match the unsharded one (the
@@ -1140,6 +1161,7 @@ def test_grad_accum_composes_with_dp_mesh(setup):
     assert jax.tree.leaves(new_state.params)[0].sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_grad_accum_composes_with_replay_cache(setup):
     """docs/PARALLELISM.md claims accumulation composes with the
     teacher-logit replay cache: the cached top-K leaves must split with
@@ -1288,6 +1310,7 @@ def test_cache_replay_feed_beam_prefetch(tmp_path):
     np.testing.assert_array_equal(np.asarray(hit["teacher_kd_logits"]), kd)
 
 
+@pytest.mark.slow
 def test_train_with_beam_cache_matches_uncached(tmp_path):
     """Beam-target caching must not change training: two 2-epoch runs
     (beam-cached vs live beam) with BOTH beam-KD losses active
@@ -1334,6 +1357,7 @@ def test_train_with_beam_cache_matches_uncached(tmp_path):
     assert hist_cached["teacher_beam_cache"]["hits"] >= 4
 
 
+@pytest.mark.slow
 def test_beam_replay_composes_with_dp_mesh(setup):
     """Beam-KD replay arrays (predictions + consensus logits) ride the
     SAME dp sharding as the data batch: the dp-sharded replay step's loss
@@ -1389,6 +1413,7 @@ def test_beam_cache_topk_lossless_when_k_covers_vocab(tmp_path):
     np.testing.assert_array_equal(got["predictions"], preds)
 
 
+@pytest.mark.slow
 def test_train_with_topk_beam_cache(tmp_path):
     """Two-epoch loss-5 run with the top-K beam cache: epoch 2 all hits,
     losses finite, and when K covers the vocab the cached run's losses
@@ -1435,6 +1460,7 @@ def test_train_with_topk_beam_cache(tmp_path):
                                hist_live["train_loss"], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_resume_schedule_bitwise_continuation(tmp_path):
     """A preempted 3-epoch run resumed with ``resume_schedule=True`` ends
     with BITWISE the params/opt_state of the uninterrupted run: the epoch
