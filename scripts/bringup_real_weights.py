@@ -24,6 +24,11 @@ Stages (each independently re-runnable, all offline once artifacts exist):
             a fixed input; plus greedy-caption equality. Writes
             tests/fixtures/real_weights/teacher_goldens.npz — token rows
             + logit fingerprints future test runs pin against.
+  tinyvit-parity  real timm state dict through BOTH the pure-torch replica
+            (tests/tinyvit_torch_replica.py) and the converted JAX TinyViT:
+            per-stage feature-map tolerance asserts + recorded encoder and
+            student-caption goldens (VERDICT r4 #2 — the convert stage
+            checks keys/shapes only)
   tokenizer real bert-base-uncased vocab.txt through BertWordPieceTokenizer:
             asserts vocab size 30522 / CLS 101 / SEP 102 and records
             tokenization goldens for caption-domain strings.
@@ -249,6 +254,109 @@ def stage_parity(git_sd=None):
           f"(beam caption ids: {preds[0].tolist()})")
 
 
+def stage_tinyvit_parity(enc_sd=None, dry_run=False):
+    """Numeric encoder parity, per stage (VERDICT r4 #2: the convert stage
+    checked keys/shapes only — a transposed bias table or mis-ordered
+    window partition in the real timm checkpoint would sail through).
+
+    Pushes the (real, or --dry-run fake) tiny_vit_21m_224 state dict
+    through BOTH implementations — the pure-torch replica
+    (tests/tinyvit_torch_replica.py, timm's module layout) and the
+    converted JAX TinyViT — on a fixed input, asserts per-stage feature-map
+    tolerance, then records encoder goldens AND a student caption golden
+    (converted encoder + PRNGKey(0) decoder, greedy decode) to
+    tests/fixtures/real_weights/tinyvit_goldens.npz."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from tinyvit_torch_replica import TinyViTTorch
+    from rtvc_tpu import decode as decode_lib
+    from rtvc_tpu.models import convert
+    from rtvc_tpu.models.student import student_from_config
+    from rtvc_tpu.models.tinyvit import TinyViT, tiny_vit_21m_config
+
+    if enc_sd is None:
+        if dry_run:
+            from test_convert import _fake_tinyvit_sd
+            enc_sd = _fake_tinyvit_sd(tiny_vit_21m_config(), input_size=224)
+            print("tinyvit-parity dry-run: fake full-size state dict")
+        else:
+            enc_sd = _load_torch_sd(
+                os.path.join(ART, ARTIFACTS["timm_tinyvit_21m"]["path"]))
+    enc_sd = {k: torch.as_tensor(np.asarray(v)) for k, v in enc_sd.items()}
+
+    cfg = tiny_vit_21m_config()
+    replica = TinyViTTorch(
+        embed_dims=cfg.embed_dims, depths=cfg.depths,
+        num_heads=cfg.num_heads, window_sizes=cfg.window_sizes,
+        mlp_ratio=cfg.mlp_ratio,
+        mbconv_expand_ratio=cfg.mbconv_expand_ratio, input_size=224)
+    missing = replica.load_timm_state_dict(enc_sd)
+    assert missing == [], f"replica unfilled: {missing[:5]}"
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = replica(torch.tensor(x.transpose(0, 3, 1, 2)))
+
+    params, stats, unused = convert.tinyvit_params_from_torch(enc_sd)
+    assert not unused, f"unplaced timm keys: {unused[:10]}..."
+    model = TinyViT(cfg)
+    with jax.default_matmul_precision("highest"):
+        got = jax.jit(model.apply)(
+            {"params": params, "batch_stats": stats}, jnp.asarray(x))
+    fingerprints = {}
+    for s, (g, w) in enumerate(zip(got, want)):
+        g = np.asarray(g)
+        w = w.numpy().transpose(0, 2, 3, 1)
+        delta = np.abs(g - w).max()
+        rel = delta / (np.abs(w).max() + 1e-9)
+        print(f"  stage {s}: shape {g.shape}, max abs delta {delta:.3e} "
+              f"(rel {rel:.1e})")
+        assert rel < 5e-3, f"stage {s} diverges from the torch replica"
+        fingerprints[f"stage{s}_mean"] = g.mean(axis=(1, 2))
+        fingerprints[f"stage{s}_sample"] = g.reshape(-1)[::997]
+
+    if dry_run:
+        # fake weights: parity proven, but record nothing — goldens in
+        # tests/fixtures/real_weights/ must only ever hold REAL-weight
+        # outputs (and the flagship student jit is CPU-hostile here).
+        print("tinyvit-parity dry-run: all 4 stages within tolerance "
+              "(goldens not recorded)")
+        return
+
+    # student caption golden: converted encoder + seeded decoder. JAX's
+    # threefry PRNG is platform-deterministic, so the decode rows recorded
+    # on the connected machine pin future runs anywhere.
+    from rtvc_tpu.config import cfg as global_cfg
+    import dataclasses as _dc
+    scfg = _dc.replace(global_cfg, tpu=_dc.replace(
+        global_cfg.tpu, compute_dtype="float32"))
+    student = student_from_config(scfg)
+    frames = jnp.asarray(
+        rng.normal(size=(1, scfg.data.num_frames, 224, 224, 3)),
+        jnp.float32)
+    variables = jax.jit(student.init)(
+        jax.random.PRNGKey(0), frames, jnp.zeros((1, 8), jnp.int32))
+    svars = {
+        "params": dict(variables["params"], image_encoder=params),
+        "batch_stats": dict(variables.get("batch_stats", {}),
+                            image_encoder=stats),
+    }
+    tokens = np.asarray(decode_lib.student_greedy(
+        student, svars, frames, max_len=20))
+    print(f"  student greedy golden (converted encoder, PRNGKey(0) "
+          f"decoder): {tokens[0].tolist()}")
+
+    os.makedirs(FIXTURES, exist_ok=True)
+    np.savez(os.path.join(FIXTURES, "tinyvit_goldens.npz"),
+             frames_seed=7, student_greedy_tokens=tokens, **fingerprints)
+    print(f"tinyvit-parity: all 4 stages within tolerance; goldens -> "
+          f"{FIXTURES}/tinyvit_goldens.npz")
+
+
 def stage_hf_teacher(dry_run=False):
     """Alternative real-teacher source: transformers' GitForCausalLM.
 
@@ -393,8 +501,8 @@ def main(argv=None):
                     help="offline: fake state dicts through the convert "
                          "stage + write the fetch manifest")
     ap.add_argument("--all", action="store_true")
-    for st in ("convert", "hf-teacher", "parity", "tokenizer", "wordnet",
-               "metrics"):
+    for st in ("convert", "hf-teacher", "parity", "tinyvit-parity",
+               "tokenizer", "wordnet", "metrics"):
         ap.add_argument(f"--{st}", action="store_true")
     a = ap.parse_args(argv)
 
@@ -402,6 +510,7 @@ def main(argv=None):
     if a.dry_run:
         stage_convert(dry_run=True)
         stage_hf_teacher(dry_run=True)
+        stage_tinyvit_parity(dry_run=True)
         print("dry-run OK: converters clean on full-size fake checkpoints; "
               "run without --dry-run on a connected machine")
         return
@@ -412,6 +521,8 @@ def main(argv=None):
         stage_hf_teacher()
     if a.all or a.parity:
         stage_parity(git_sd)
+    if a.all or a.tinyvit_parity:
+        stage_tinyvit_parity()
     if a.all or a.tokenizer:
         stage_tokenizer()
     if a.all or a.wordnet:

@@ -21,6 +21,7 @@ def test_bringup_shell_script_parses():
                    check=True)
 
 
+@pytest.mark.slow
 def test_bringup_manifest_and_dryrun(tmp_path, monkeypatch):
     """--dry-run offline: writes the fetch manifest (5 artifacts, https
     URLs, provenance notes) and runs the converters clean on the fake
@@ -37,6 +38,8 @@ def test_bringup_manifest_and_dryrun(tmp_path, monkeypatch):
     assert "0 unused, 0 unfilled" in proc.stdout
 
     assert "hf-teacher dry-run: converter clean" in proc.stdout
+    assert ("tinyvit-parity dry-run: all 4 stages within tolerance"
+            in proc.stdout)
 
     manifest = json.load(open(tmp_path / "artifacts" / "MANIFEST.json"))
     assert set(manifest) == {"git_large_msrvtt", "hf_git_large_msrvtt",
@@ -68,3 +71,10 @@ def test_real_weight_goldens_present():
         out = json.load(open(pg))
         assert {"meteor", "rouge_l", "cider_d"} <= set(out)
         assert len(out["meteor"]["per_pair"]) == 120
+    vg = os.path.join(fx, "tinyvit_goldens.npz")
+    if os.path.exists(vg):
+        with np.load(vg) as z:
+            assert z["student_greedy_tokens"].ndim == 2
+            for s in range(4):
+                assert np.isfinite(z[f"stage{s}_mean"]).all()
+                assert np.isfinite(z[f"stage{s}_sample"]).all()

@@ -174,6 +174,7 @@ def _fake_tinyvit_sd(cfg: TinyViTConfig, input_size: int = 64):
     return sd
 
 
+@pytest.mark.slow
 def test_tinyvit_conversion_shapes_and_runs():
     cfg = TINY_ENC
     sd = _fake_tinyvit_sd(cfg)
@@ -195,6 +196,45 @@ def test_tinyvit_conversion_shapes_and_runs():
     fmaps = model.apply({"params": params, "batch_stats": stats}, x)
     assert fmaps[-1].shape == (1, 2, 2, cfg.embed_dims[-1])
     assert all(np.isfinite(np.asarray(f)).all() for f in fmaps)
+
+
+def test_tinyvit_numeric_parity_vs_torch_replica():
+    """Converted TinyViT reproduces a pure-torch replica NUMERICALLY, per
+    stage (VERDICT r4 #2: conversion used to be validated by key/shape
+    only — a transposed relative-position-bias table or mis-ordered window
+    partition would sail through). The replica mirrors timm's
+    tiny_vit_21m_224 module layout (reference src/models/model.py:35-47)
+    and loads the same state dict the converter consumes, so a silent
+    converter mis-mapping shows up as a per-stage numeric split here."""
+    from tinyvit_torch_replica import TinyViTTorch
+
+    cfg = TINY_ENC
+    sd = _fake_tinyvit_sd(cfg)
+    replica = TinyViTTorch(
+        embed_dims=cfg.embed_dims, depths=cfg.depths,
+        num_heads=cfg.num_heads, window_sizes=cfg.window_sizes,
+        mlp_ratio=cfg.mlp_ratio,
+        mbconv_expand_ratio=cfg.mbconv_expand_ratio, input_size=64)
+    missing = replica.load_timm_state_dict(sd)
+    assert missing == []
+
+    x = np.random.default_rng(3).normal(
+        size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = replica(torch.tensor(x.transpose(0, 3, 1, 2)))
+
+    params, stats, unused = convert.tinyvit_params_from_torch(
+        sd, depths=cfg.depths)
+    assert unused == []
+    model = TinyViT(cfg)
+    with jax.default_matmul_precision("highest"):
+        got = model.apply({"params": params, "batch_stats": stats},
+                          jnp.asarray(x))
+    assert len(got) == len(want) == 4
+    for s, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(g), w.numpy().transpose(0, 2, 3, 1),
+            atol=1e-4, rtol=1e-4, err_msg=f"stage {s}")
 
 
 def test_git_teacher_conversion_structure():
