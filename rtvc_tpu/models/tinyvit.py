@@ -28,6 +28,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import depthwise
 from ..ops.attention import multi_head_attention
 from .layers import DropPath, Mlp
 
@@ -62,6 +63,22 @@ def tiny_vit_5m_config(**overrides) -> TinyViTConfig:
     return dataclasses.replace(cfg, **overrides)
 
 
+class _DWConv3x3(nn.Module):
+    """Stride-1 depthwise 3x3 via ops.depthwise.depthwise_conv3x3 (custom
+    one-pass wgrad). Param layout/init identical to the nn.Conv it
+    replaces: kernel HWIO [3, 3, 1, C], lecun_normal."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 1, self.features))
+        return depthwise.depthwise_conv3x3(
+            x.astype(self.dtype), kernel.astype(self.dtype))
+
+
 class ConvBN(nn.Module):
     """Conv2d (no bias) + BatchNorm, the TinyViT Conv2dBN unit."""
 
@@ -74,11 +91,19 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         pad = self.kernel // 2
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=((pad, pad), (pad, pad)),
-                    feature_group_count=self.groups, use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
+        if (self.kernel == 3 and self.stride == 1
+                and self.groups == self.features
+                and depthwise.USE_DW_WGRAD_PALLAS):
+            # custom-VJP depthwise path (one-pass wgrad, ops/depthwise.py);
+            # same param tree as nn.Conv (conv/kernel, HWIO [3,3,1,C]) so
+            # checkpoints are interchangeable with the flag off
+            x = _DWConv3x3(self.features, self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride),
+                        padding=((pad, pad), (pad, pad)),
+                        feature_group_count=self.groups, use_bias=False,
+                        dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         return x

@@ -7,11 +7,15 @@ per-channel weight + per-token dynamic activation quantization.
 
 Measured A/B (v5e, full GIT-Large teacher fwd, B8): **accuracy holds**
 (max total-variation 0.013, argmax agreement 94% on random weights) but
-**no end-to-end speedup yet** (122.9 vs 123.0 ms p50) — this XLA build does
-not appear to lower the int8 dot to the doubled-rate MXU path, and the
-per-activation quantize passes add elementwise traffic. Kept opt-in
-(``TpuConfig.quantize_teacher``) for stacks where int8 lowering lands;
-revisit with an explicit Pallas int8 matmul kernel (ROADMAP #8).
+**no end-to-end speedup via XLA** (122.9 vs 123.0 ms p50) — this XLA build
+does not appear to lower the int8 dot to the doubled-rate MXU path, and the
+per-activation quantize passes add elementwise traffic. Round 5 adds the
+explicit Pallas route (:mod:`.int8_gemm`, ROADMAP #8): set
+:data:`USE_PALLAS_INT8` (or :func:`set_pallas_int8`) and every
+``QuantDense`` — i.e. the whole ``TpuConfig.quantize_teacher`` surface —
+runs the int8 MXU kernel instead of the XLA dot. A/B harnesses:
+scripts/ab_int8_pallas_gemm.py (raw GEMM) and scripts/ab_int8_step.py
+(full train step); measured verdict in docs/PERF.md §1e.
 
 Scheme (standard W8A8 dynamic):
 - weights: symmetric per-OUTPUT-channel int8, scale = max|w_col| / 127,
@@ -36,6 +40,18 @@ import jax.numpy as jnp
 
 PyTree = Any
 
+# Route QuantDense through the Pallas W8A8 MXU kernel (ops/int8_gemm.py)
+# instead of the XLA int8 dot. Module-level switch like
+# attention.USE_WINDOW_PALLAS: flip BEFORE tracing (it is baked into the
+# jitted program). Off CPU the kernel runs in interpret mode, so tests
+# exercise the same code path.
+USE_PALLAS_INT8 = False
+
+
+def set_pallas_int8(value: bool) -> None:
+    global USE_PALLAS_INT8
+    USE_PALLAS_INT8 = bool(value)
+
 
 def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[in, out] float kernel → (int8 kernel, per-output-channel scale)."""
@@ -56,7 +72,15 @@ def quantize_activations(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
                 bias: Optional[jnp.ndarray] = None,
                 out_dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
-    """W8A8 dynamic matmul: quantize x per-token, int8 MXU dot, rescale."""
+    """W8A8 dynamic matmul: quantize x per-token, int8 MXU dot, rescale.
+
+    With :data:`USE_PALLAS_INT8` set, the dot+rescale+bias runs as the
+    explicit Pallas MXU kernel (:func:`.int8_gemm.w8a8_dense`) — same
+    quantization scheme, same operands, fused epilogue in VMEM.
+    """
+    if USE_PALLAS_INT8:
+        from .int8_gemm import w8a8_dense
+        return w8a8_dense(x, w_q, w_scale, bias=bias, out_dtype=out_dtype)
     x_q, x_scale = quantize_activations(x)
     acc = jax.lax.dot_general(
         x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),

@@ -90,9 +90,17 @@ def main():
               flush=True)
         return ms
 
+    from rtvc_tpu.ops import quantization as Q
+
     f_ms = measure("float teacher ", quantized=False)
-    q_ms = measure("int8  teacher ", quantized=True)
-    print(f"int8 step / float step = {q_ms / f_ms:.3f}x", flush=True)
+    q_ms = measure("int8-xla  teacher ", quantized=True)
+    Q.set_pallas_int8(True)
+    try:
+        p_ms = measure("int8-pallas teacher ", quantized=True)
+    finally:
+        Q.set_pallas_int8(False)
+    print(f"int8-xla step / float step    = {q_ms / f_ms:.3f}x", flush=True)
+    print(f"int8-pallas step / float step = {p_ms / f_ms:.3f}x", flush=True)
 
 
 if __name__ == "__main__":
