@@ -60,17 +60,23 @@ def _on_tpu() -> bool:
 
 
 def _wgrad_kernel(xpad_ref, dy_ref, out_ref):
-    """One batch element: accumulate all 9 taps into the [9, C] output."""
-    n = pl.program_id(0)
-    xpad = xpad_ref[0]          # [H+2, W+2, C]
-    dy = dy_ref[0].astype(jnp.float32)   # [H, W, C]
+    """One (batch element, channel block): accumulate 9 taps into [9, cb].
+
+    The f32 shift-product for ONE tap at ONE channel block is the largest
+    live temporary (~[H, W, cb] f32); with cb=128 that is ~1.6 MB at
+    stage0's 56x56, safely inside the 16 MB scoped-VMEM stack (full-C
+    blocks OOM'd: 9 x [56, 56, 384] f32 products = 30.8 MB scoped).
+    """
+    n = pl.program_id(1)
+    xpad = xpad_ref[0]          # [H+2, W+2, cb]
+    dy = dy_ref[0].astype(jnp.float32)   # [H, W, cb]
     h, w, _ = dy.shape
     taps = []
     for ki in range(3):
         for kj in range(3):
             xs = xpad[ki:ki + h, kj:kj + w, :].astype(jnp.float32)
-            taps.append(jnp.sum(xs * dy, axis=(0, 1)))   # [C]
-    acc = jnp.stack(taps)       # [9, C]
+            taps.append(jnp.sum(xs * dy, axis=(0, 1)))   # [cb]
+    acc = jnp.stack(taps)       # [9, cb]
 
     @pl.when(n == 0)
     def _init():
@@ -84,17 +90,20 @@ def _wgrad_kernel(xpad_ref, dy_ref, out_ref):
 def dw3x3_wgrad_pallas(x: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
     """[N, H, W, C] x, dy -> [3, 3, 1, C] f32 weight grad (SAME, stride 1)."""
     n, h, w, c = x.shape
+    cb = min(c, 128)
     xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     out = pl.pallas_call(
         _wgrad_kernel,
-        grid=(n,),
+        # channel blocks outer so the [9, cb] accumulator stays resident
+        # across the inner batch sweep (out index ignores the batch id)
+        grid=(pl.cdiv(c, cb), n),
         in_specs=[
-            pl.BlockSpec((1, h + 2, w + 2, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, h + 2, w + 2, cb), lambda j, i: (i, 0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, h, w, cb), lambda j, i: (i, 0, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((9, c), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((9, cb), lambda j, i: (0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((9, c), jnp.float32),
         cost_estimate=pl.CostEstimate(

@@ -55,6 +55,22 @@ def test_pallas_wgrad_interpret_matches_xla():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("c", [96, 192, 384])
+def test_pallas_wgrad_channel_blocks(c):
+    """Multi-block channel grid (cb=128): full blocks, partial tail blocks
+    (192 = 128+64), and the single-partial-block case (96 < 128) must all
+    match the XLA one-pass math — the VMEM-OOM fix grids C, and block
+    padding must never leak into real channels."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 7, 9, c)), jnp.float32)
+    dy = jnp.asarray(rng.normal(size=(2, 7, 9, c)), jnp.float32)
+    ref = depthwise.dw3x3_wgrad_xla(x, dy)
+    got = depthwise.dw3x3_wgrad_pallas(x, dy)
+    assert got.shape == (3, 3, 1, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_convbn_flag_routing_preserves_numerics():
     """TinyViT ConvBN with USE_DW_WGRAD_PALLAS on == off: same params tree,
     same forward, same grads (CPU -> XLA one-pass wgrad fallback)."""
