@@ -23,8 +23,16 @@ are sliced off after (<2% traffic at the teacher's M = 12336).
 
 The teacher hot loop this serves: reference model.py:747-760 (frozen
 GIT-Large forward inside every cold-cache distillation step).
+
+MEASURED VERDICT (round 5, docs/PERF.md §1e): dead end on this
+v5e + Mosaic toolchain. bf16 XLA already runs the teacher GEMMs at
+163-223 TFLOP/s (~peak), and this kernel's int8 dot tops out at ~197
+TFLOP/s — Mosaic does not issue the doubled-rate int8 MXU op — so every
+shape loses (0.41-0.98x per GEMM; full train step 1.219x slower). The
+kernel stays, interpret-parity-pinned (tests/test_int8_gemm.py), as the
+ready route for toolchains whose int8 lowering is real.
 Measured A/B: scripts/ab_int8_pallas_gemm.py (raw GEMM) and
-scripts/ab_int8_step.py (full train step) — docs/PERF.md §1e.
+scripts/ab_int8_step.py (full train step).
 """
 
 from __future__ import annotations

@@ -9,13 +9,17 @@ Measured A/B (v5e, full GIT-Large teacher fwd, B8): **accuracy holds**
 (max total-variation 0.013, argmax agreement 94% on random weights) but
 **no end-to-end speedup via XLA** (122.9 vs 123.0 ms p50) — this XLA build
 does not appear to lower the int8 dot to the doubled-rate MXU path, and the
-per-activation quantize passes add elementwise traffic. Round 5 adds the
+per-activation quantize passes add elementwise traffic. Round 5 added the
 explicit Pallas route (:mod:`.int8_gemm`, ROADMAP #8): set
 :data:`USE_PALLAS_INT8` (or :func:`set_pallas_int8`) and every
 ``QuantDense`` — i.e. the whole ``TpuConfig.quantize_teacher`` surface —
-runs the int8 MXU kernel instead of the XLA dot. A/B harnesses:
-scripts/ab_int8_pallas_gemm.py (raw GEMM) and scripts/ab_int8_step.py
-(full train step); measured verdict in docs/PERF.md §1e.
+runs the int8 MXU kernel instead of the XLA dot. MEASURED VERDICT
+(docs/PERF.md §1e): dead end on this toolchain — Mosaic issues the int8
+dot at the bf16 rate while XLA's bf16 GEMMs already run at peak, so the
+Pallas route is 0.41-0.98x per GEMM and 1.219x slower on the full train
+step. Both knobs stay (default off) for runtimes whose int8 lowering is
+real. A/B harnesses: scripts/ab_int8_pallas_gemm.py (raw GEMM) and
+scripts/ab_int8_step.py (full train step).
 
 Scheme (standard W8A8 dynamic):
 - weights: symmetric per-OUTPUT-channel int8, scale = max|w_col| / 127,
