@@ -11,7 +11,8 @@ the CHIP sustains. The loop keeps every 3rd camera frame and captions per
 6-frame window (reference :44-58), i.e. one caption covers 18 source
 frames, so sustainable fps = 18 / device_window_time. The window time is
 measured with no tunnel in the timed path (pre-uploaded windows scanned
-inside one dispatch), so BENCH_rN vs BENCH_rN+1 compares builder work, not
+inside one dispatch, two scan lengths, delta cancels the fetch RTT the
+short dispatch pays), so BENCH_rN vs BENCH_rN+1 compares builder work, not
 link weather: rounds 1-4 published the link-riding pipelined fps as the
 headline and it swung 347-1277 on identical code as the axon tunnel's
 bandwidth moved (15-29 MB/s session to session) — r4's 864.54 "regression"
@@ -172,29 +173,48 @@ def main() -> None:
     # --- device-only caption latency (chip signal; no tunnel in the timed
     # path). The single-in-flight p50 above times host resize + the 0.9 MB
     # upload + decode + fetch — serving-relevant but link-sensitive. For a
-    # round-over-round CHIP comparison, scan the caption program over 16
+    # round-over-round CHIP comparison, scan the caption program over
     # pre-uploaded windows inside ONE jitted dispatch with a checksum
-    # carried out (docs/PERF.md §4 method), so per-caption time has no
-    # upload and the ~30 ms fetch RTT amortizes over 16 captions.
-    def scanned(variables, windows):
-        def body(acc, w):
-            toks = caption_clip(variables, w)
-            return acc + jnp.sum(toks, dtype=jnp.int32), ()
-        acc, _ = jax.lax.scan(body, jnp.int32(0), windows)
+    # carried out, and time TWO scan lengths (1 pass vs 1+K passes over the
+    # same 16 windows): both dispatches pay the identical ~30 ms fetch RTT,
+    # so the DELTA is pure device time (docs/PERF.md §4 delta method).
+    # Round 4 divided a single 16-window dispatch's wall by 16, which left
+    # ~2 ms/window of amortized fetch RTT inside the "device-only" number
+    # (r4's 4.92 ms vs the true ~2.6 ms chip cost, PERF §5 round-5
+    # addendum) and made the headline track the RTT floor.
+    def scanned(variables, windows, passes):
+        def one_pass(carry, _):
+            def body(acc, w):
+                # perturb pixels by the running checksum so later passes
+                # are not loop-invariant re-runs of the first
+                w = w + (acc % 2).astype(w.dtype)
+                toks = caption_clip(variables, w)
+                return acc + jnp.sum(toks, dtype=jnp.int32), ()
+            acc, _ = jax.lax.scan(body, carry, windows)
+            return acc, ()
+        acc, _ = jax.lax.scan(one_pass, jnp.int32(0), None, length=passes)
         return acc
 
-    sstep = jax.jit(scanned)
+    sstep = jax.jit(scanned, static_argnums=(2,))
     # 3 distinct pre-uploaded stacks: repeated identical dispatches can be
     # served from the tunnel cache (same caveat as raw_clips above)
     stacks = [jax.device_put(jnp.asarray(np.stack(shrunk[i:i + 16])))
               for i in (0, 8, 16)]
-    np.asarray(sstep(variables, stacks[0]))  # compile + warm
-    t0 = time.perf_counter()
+    extra = 3  # long arm = 1 + extra passes
+    np.asarray(sstep(variables, stacks[0], 1))          # compile short arm
+    np.asarray(sstep(variables, stacks[0], 1 + extra))  # compile long arm
+    t_short = t_long = 0.0
     for s in stacks:
-        np.asarray(sstep(variables, s))
-    dev_ms = (time.perf_counter() - t0) / (len(stacks) * 16) * 1e3
+        t0 = time.perf_counter()
+        np.asarray(sstep(variables, s, 1))
+        t_short += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(sstep(variables, s, 1 + extra))
+        t_long += time.perf_counter() - t0
+    dev_ms = max(t_long - t_short, 1e-9) / (len(stacks) * extra * 16) * 1e3
     log(f"device-only caption: {dev_ms:.2f} ms/window "
-        f"({1e3 / dev_ms:.1f} windows/s on-chip)")
+        f"({1e3 / dev_ms:.1f} windows/s on-chip; RTT-cancelled delta over "
+        f"{len(stacks)}x{extra * 16} windows)")
 
     # batched throughput (training/eval shape): clips/sec at batch 8
     def batched(variables, frames_u8):
@@ -230,8 +250,10 @@ def main() -> None:
         # The two device-latency definitions, self-describing (VERDICT r4
         # #8): device_b1_ms_per_window times the SINGLE-window caption
         # program (preprocess + encode + greedy decode, batch 1) scanned
-        # over 16 pre-uploaded windows in one dispatch — the streaming
-        # steady-state chip cost, and the headline's denominator.
+        # over pre-uploaded windows, RTT-cancelled via the two-scan-length
+        # delta — the streaming steady-state chip cost, and the headline's
+        # denominator. (Round 4's 4.92 for this quantity included ~2 ms of
+        # amortized fetch RTT; the delta method removes it.)
         # device_batch8_ms_per_clip is the BATCH-8 caption step's per-clip
         # cost (one dispatch per 8-clip batch, result fetched) — the
         # training/eval-shaped throughput signal; it beats b=1 per-clip

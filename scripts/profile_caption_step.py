@@ -7,7 +7,8 @@ slope over max_len), plus the beam-K variant serving's ``beam=`` uses.
 Methodology: docs/PERF.md §4 (sub-10 ms parts need the one-jitted-scan
 method on the axon tunnel; per-rep fetches have a ~30 ms RTT floor).
 
-Usage: python scripts/profile_caption_step.py [reps]
+Usage: python scripts/profile_caption_step.py [reps] [batch]
+(batch=1 dissects the device-anchored bench headline program.)
 """
 
 import os
@@ -30,7 +31,8 @@ def main():
     from rtvc_tpu.ops.preprocess import clip_preprocess
 
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    batch, window, max_len = 8, 6, 25  # bench.py / serving defaults
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    window, max_len = 6, 25  # bench.py / serving defaults
 
     model = student_from_config(cfg)
     frames0 = jnp.zeros((1, window, 224, 224, 3), jnp.float32)
