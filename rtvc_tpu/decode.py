@@ -49,10 +49,14 @@ def _gather_cache(caches: PyTree, rows: jnp.ndarray) -> PyTree:
 # ===========================================================================
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("max_len",))
-def student_greedy(model, variables, frames: jnp.ndarray, max_len: int = 10
-                   ) -> jnp.ndarray:
+def student_greedy(model, variables, frames: jnp.ndarray, max_len: int = 10,
+                   vocab_w8=None) -> jnp.ndarray:
     """Greedy captioning (reference model.py:156-187). Returns
-    [B, 1 + max_len] ids: CLS, generated tokens, 0-padding after early stop."""
+    [B, 1 + max_len] ids: CLS, generated tokens, 0-padding after early stop.
+
+    ``vocab_w8``: optional weight-only int8 pack for the vocab projection
+    (``quantization.quantize_vocab_head``) — opt-in decode-bandwidth lever;
+    the exact bf16 projection is the default (see student.decode_step)."""
 
     def encode(mdl, x):
         _, memory = mdl.forward_image_enc(x)
@@ -75,8 +79,9 @@ def student_greedy(model, variables, frames: jnp.ndarray, max_len: int = 10
         # tokens therefore vanish from self-attention on later steps too
         kv_mask = (pos <= i) & (tokens != 0)
         logits, caches = model.apply(
-            variables, tokens[:, i], i, caches, kv_mask,
-            method=lambda mdl, t_, i_, c_, m_: mdl.decode_step(t_, i_, c_, m_))
+            variables, tokens[:, i], i, caches, kv_mask, vocab_w8,
+            method=lambda mdl, t_, i_, c_, m_, vw_: mdl.decode_step(
+                t_, i_, c_, m_, vocab_w8=vw_))
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         tokens = jax.lax.dynamic_update_slice_in_dim(
             tokens, nxt[:, None], i + 1, axis=1)
@@ -99,8 +104,11 @@ def student_greedy(model, variables, frames: jnp.ndarray, max_len: int = 10
 @functools.partial(jax.jit, static_argnums=(0,),
                    static_argnames=("max_len", "k"))
 def student_beam(model, variables, frames: jnp.ndarray, max_len: int = 10,
-                 k: int = 3) -> jnp.ndarray:
-    """Beam captioning (reference model.py:189-317). Returns [B, max_len]."""
+                 k: int = 3, vocab_w8=None) -> jnp.ndarray:
+    """Beam captioning (reference model.py:189-317). Returns [B, max_len].
+
+    ``vocab_w8``: optional weight-only int8 vocab projection (see
+    :func:`student_greedy`)."""
 
     def encode(mdl, x):
         _, memory = mdl.forward_image_enc(x)
@@ -115,8 +123,9 @@ def student_beam(model, variables, frames: jnp.ndarray, max_len: int = 10,
                          method=lambda mdl, b_, t_, m_: mdl.init_cache(b_, t_, m_))
     cls = jnp.full((b,), model.cls_token_id, jnp.int32)
     logits0, caches = model.apply(
-        variables, cls, jnp.int32(0), caches, None,
-        method=lambda mdl, t_, i_, c_, m_: mdl.decode_step(t_, i_, c_, m_))
+        variables, cls, jnp.int32(0), caches, None, vocab_w8,
+        method=lambda mdl, t_, i_, c_, m_, vw_: mdl.decode_step(
+            t_, i_, c_, m_, vocab_w8=vw_))
     logp0 = jax.nn.log_softmax(logits0.astype(jnp.float32), axis=-1)
     scores, top_idx = jax.lax.top_k(logp0, k)        # [B, k]
 
@@ -133,8 +142,9 @@ def student_beam(model, variables, frames: jnp.ndarray, max_len: int = 10,
         seqs, scores, caches = state
         last = seqs[:, :, step - 1].reshape(b * k)
         logits, new_caches = model.apply(
-            variables, last, step - 1, caches, None,
-            method=lambda mdl, t_, i_, c_, m_: mdl.decode_step(t_, i_, c_, m_))
+            variables, last, step - 1, caches, None, vocab_w8,
+            method=lambda mdl, t_, i_, c_, m_, vw_: mdl.decode_step(
+                t_, i_, c_, m_, vocab_w8=vw_))
         # top-k on the RAW logits in 2-D layout, then normalize only the k
         # winners: log_softmax is a per-row monotone shift (x - logsumexp),
         # so the selected indices, tie order and scores are identical. The

@@ -334,14 +334,28 @@ class StudentCandidateV1(nn.Module):
 
     def decode_step(self, token: jnp.ndarray, index: jnp.ndarray,
                     caches: List[Cache],
-                    kv_mask: Optional[jnp.ndarray] = None
+                    kv_mask: Optional[jnp.ndarray] = None,
+                    vocab_w8: Optional[Dict[str, jnp.ndarray]] = None
                     ) -> Tuple[jnp.ndarray, List[Cache]]:
-        """token: [B] ids at position ``index`` → logits [B, V], new caches."""
+        """token: [B] ids at position ``index`` → logits [B, V], new caches.
+
+        ``vocab_w8`` (optional, from ``quantization.quantize_vocab_head``):
+        run the vocab projection through the weight-only int8 Pallas GEMV
+        (ops/int8_gemm.w8_matmul) instead of the bf16 Dense. Opt-in
+        serving knob; logits shift by ~bf16-rounding scale, and at THIS
+        model's shapes it measured a wash in the composed step (the
+        w8_matmul docstring records the verdict).
+        """
         x = self._embed_tokens(token[:, None], offset=index)
         new_caches: List[Cache] = []
         for layer, cache in zip(self.layers, caches):
             x, c = layer.decode_step(x, cache, index, kv_mask=kv_mask)
             new_caches.append(c)
+        if vocab_w8 is not None:
+            from ..ops.int8_gemm import w8_dense
+            logits = w8_dense(x[:, 0], vocab_w8["wq"], vocab_w8["sw"],
+                              bias=vocab_w8["bias"], out_dtype=self.dtype)
+            return logits[:, :self.vocab_size], new_caches
         return self.vocab_proj(x)[:, 0], new_caches
 
 

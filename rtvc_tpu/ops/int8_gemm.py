@@ -63,6 +63,22 @@ def _w8a8_kernel_nobias(xq_ref, sx_ref, wq_ref, sw_ref, o_ref):
                 ).astype(o_ref.dtype)
 
 
+def _w8_kernel(x_ref, wq_ref, sw_ref, b_ref, o_ref):
+    w = wq_ref[:].astype(x_ref.dtype)
+    acc = jax.lax.dot_general(
+        x_ref[:], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * sw_ref[:] + b_ref[:]).astype(o_ref.dtype)
+
+
+def _w8_kernel_nobias(x_ref, wq_ref, sw_ref, o_ref):
+    w = wq_ref[:].astype(x_ref.dtype)
+    acc = jax.lax.dot_general(
+        x_ref[:], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * sw_ref[:]).astype(o_ref.dtype)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -146,4 +162,92 @@ def w8a8_dense(x: jnp.ndarray, wq: jnp.ndarray, sw: jnp.ndarray,
     xq, sx = quantize_activations(x)
     y = w8a8_matmul(xq.reshape(-1, k), sx.reshape(-1, 1), wq, sw,
                     bias=bias, out_dtype=out_dtype, tm=tm, tn=tn)
+    return y.reshape(*lead, wq.shape[1])
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "tn", "interpret"))
+def w8_matmul(x: jnp.ndarray, wq: jnp.ndarray, sw: jnp.ndarray,
+              bias: Optional[jnp.ndarray] = None,
+              out_dtype: jnp.dtype = jnp.float32,
+              tn: int = 1024,
+              interpret: Optional[bool] = None) -> jnp.ndarray:
+    """WEIGHT-ONLY int8 GEMM for bandwidth-bound small-M shapes:
+    y[M, N] = (x[M, K] . dequant(wq)[K, N]) * sw[1, N] + b[N], where the
+    int8 weight is converted to ``x.dtype`` INSIDE VMEM — HBM sees half
+    the weight bytes of the bf16 GEMM.
+
+    Where this wins (and w8a8 does not): M is tiny (1-32 decode rows) and
+    the op is a pure weight-bandwidth read — the student's 576x30522
+    vocab projection inside the greedy/beam decode loop reads 35 MB bf16
+    per generated token at ~roofline (51 us measured, = the entire
+    50 us/token decode slope, docs/PERF.md §5). The MXU int8 rate that
+    killed the W8A8 kernel (§1e) is irrelevant here; halving the bytes
+    is the whole win: measured 1.70x on the ISOLATED vocab GEMV+argmax
+    (48.6 -> 28.6 us). XLA's own weight-only route measures exactly
+    1.00x — its dequant materializes the bf16 weight again.
+
+    MEASURED VERDICT in the composed program (scripts/ab_w8_vocab.py,
+    docs/PERF.md §5 round-5 addendum): a WASH — 0.97x on the full b=1
+    and b=8 caption steps. The bf16 program's 50 us/token was never
+    additive: XLA overlaps the vocab weight read with the decoder-layer
+    compute of the same step, and the pallas_call boundary forfeits that
+    overlap, eating exactly the bytes it saves. (First attempt measured
+    0.73x — the pad wrapper ran INSIDE the while_loop, which XLA does
+    not hoist; quantize_vocab_head now pre-pads. Kept, default-off, as
+    the ready route for wider-vocab or longer-decode models where the
+    projection outgrows what layer compute can hide.)
+
+    x stays float ([M, K], any lead shape via :func:`w8_dense`); ``wq``
+    [K, N] int8 with per-output-channel scale ``sw`` [N] (from
+    ``quantization.quantize_weight``). M is padded to 8, N to ``tn``;
+    K is unblocked (the full [K, tn] int8 strip lives in VMEM: 576x1024
+    = 576 KB at the vocab shape, well under the 16 MB scoped limit).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    m, k = x.shape
+    n = wq.shape[1]
+    xp = _pad_to(x, 0, 8)
+    wq = _pad_to(wq, 1, tn)
+    sw_row = _pad_to(sw.reshape(1, -1).astype(jnp.float32), 1, tn)
+    mp, np_ = xp.shape[0], wq.shape[1]
+
+    args = [xp, wq, sw_row]
+    in_specs = [
+        pl.BlockSpec((mp, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    kernel = _w8_kernel_nobias
+    if bias is not None:
+        args.append(_pad_to(bias.reshape(1, -1).astype(jnp.float32), 1, tn))
+        in_specs.append(pl.BlockSpec((1, tn), lambda j: (0, j),
+                                     memory_space=pltpu.VMEM))
+        kernel = _w8_kernel
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(np_ // tn,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((mp, tn), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * k,
+            bytes_accessed=mp * k * 2 + k * np_ + mp * np_ * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+    return out[:m, :n]
+
+
+def w8_dense(x: jnp.ndarray, wq: jnp.ndarray, sw: jnp.ndarray,
+             bias: Optional[jnp.ndarray] = None,
+             out_dtype: jnp.dtype = jnp.float32,
+             tn: int = 1024) -> jnp.ndarray:
+    """[..., K] float activations through :func:`w8_matmul`."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    y = w8_matmul(x.reshape(-1, k), wq, sw, bias=bias,
+                  out_dtype=out_dtype, tn=tn)
     return y.reshape(*lead, wq.shape[1])

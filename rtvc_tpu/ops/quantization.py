@@ -65,6 +65,47 @@ def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q.astype(jnp.int8), scale.astype(jnp.float32)
 
 
+def quantize_vocab_head(variables: PyTree) -> PyTree:
+    """One-time weight-only int8 pack of the STUDENT's vocab projection
+    (param collection ``params/linear``, the 576x30522 Dense that is ~100%
+    of the greedy decode loop's per-token cost — docs/PERF.md §5 round-5
+    addendum). Returns ``{"wq", "sw", "bias"}`` for the ``vocab_w8``
+    argument of :func:`rtvc_tpu.decode.student_greedy` /
+    :func:`~rtvc_tpu.decode.student_beam` and the serving
+    ``vocab_int8`` knob. Compute it ONCE per weight set outside the decode
+    program — quantizing inside the jitted step would re-read the full
+    float weight every window and eat the win.
+
+    Opt-in: per-channel symmetric rounding perturbs logits at bf16-rounding
+    scale (~4e-3 relative), which can flip argmax on near-ties, so the
+    exact bf16 projection stays the default everywhere. MEASURED: a wash
+    (0.97x) in the composed caption step on the v5e — XLA already hides
+    the vocab read under decoder-layer compute (int8_gemm.w8_matmul
+    docstring; scripts/ab_w8_vocab.py) — so there is currently no reason
+    to take the flip risk at THIS model's shapes; the knob exists for
+    wider-vocab/longer-decode variants.
+
+    The pack is pre-padded to the kernel's lane-tile multiple (tn=1024)
+    HERE: ``w8_matmul``'s pad wrapper would otherwise run inside the
+    decode ``while_loop`` body, and XLA does not hoist loop-invariant ops
+    out of while loops — the 17.6 MB int8 pad-copy per generated token
+    measured the whole kernel win away (0.73x full-program vs 1.70x on
+    the isolated GEMV). Padded bias is -1e9 so pad columns can never win
+    argmax/top-k; decode_step slices logits back to vocab_size anyway.
+    """
+    p = variables["params"]["linear"]
+    wq, sw = quantize_weight(p["kernel"])
+    bias = p["bias"].astype(jnp.float32)
+    tn = 1024
+    pad = (-wq.shape[1]) % tn
+    if pad:
+        wq = jnp.pad(wq, ((0, 0), (0, pad)))
+        sw = jnp.pad(sw, (0, pad))
+        bias = jnp.pad(bias, (0, pad), constant_values=-1e9)
+    return {"wq": wq, "sw": sw.reshape(1, -1),
+            "bias": bias.reshape(1, -1)}
+
+
 def quantize_activations(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[..., in] float → (int8, per-row scale [..., 1])."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)

@@ -206,8 +206,18 @@ def truncate_at_sep(row: np.ndarray, sep_id: int = SEP_TOKEN_ID) -> np.ndarray:
     return row[: hits[0]] if hits.size else row
 
 
+def with_vocab_w8(variables):
+    """Augment a student variables tree with the one-time weight-only int8
+    pack of its vocab projection (collection ``vocab_w8``) for the
+    ``vocab_int8`` serving knob. Quantization happens HERE, once per weight
+    set — not inside the per-window step."""
+    from .ops.quantization import quantize_vocab_head
+    return dict(variables, vocab_w8=quantize_vocab_head(variables))
+
+
 def make_caption_step(student: StudentCandidateV1, *, max_len: int = 25,
-                      beam: int = 0, crop_size: int = 224):
+                      beam: int = 0, crop_size: int = 224,
+                      vocab_int8: bool = False):
     """The serving program: uint8 window batch → caption token rows.
 
     ``step(variables, frames_u8)`` maps ``[B, W, H, Wd, 3]`` uint8 frames
@@ -221,18 +231,37 @@ def make_caption_step(student: StudentCandidateV1, *, max_len: int = 25,
     tree bloats the compile payload, docs/PERF.md §4). ``crop_size``
     parameterizes the preprocess target resolution (default 224 = CLIP;
     the multichip dryrun drives this same program at tiny shapes).
+
+    ``vocab_int8=True`` routes the decode loop's vocab projection through
+    the weight-only int8 Pallas GEMV (ops/int8_gemm.w8_matmul). The
+    caller must pass variables through :func:`with_vocab_w8` first — the
+    pack is computed once per weight set, not per window. Opt-in and
+    measured a WASH at this model's shapes (0.97x composed caption step:
+    XLA hides the vocab read under layer compute — w8_matmul docstring);
+    it exists for wider-vocab/longer-decode variants. Logits move by
+    ~bf16-rounding scale, so batched==solo exactness vs the DEFAULT
+    program no longer holds token-for-token.
     """
     def step(variables, frames_u8):
         from .ops.preprocess import clip_preprocess
+        vw = None
+        if vocab_int8:
+            if "vocab_w8" not in variables:
+                raise ValueError(
+                    "vocab_int8 serving needs variables from with_vocab_w8()")
+            vw = variables["vocab_w8"]
+            variables = {k: v for k, v in variables.items()
+                        if k != "vocab_w8"}
         b, w = frames_u8.shape[:2]
         flat = frames_u8.reshape((b * w,) + frames_u8.shape[2:])
         proc = clip_preprocess(flat, crop_size=crop_size)
         proc = proc.reshape((b, w) + proc.shape[1:])
         if beam > 0:
             return decode_lib.student_beam(
-                student, variables, proc, max_len=max_len, k=beam)
+                student, variables, proc, max_len=max_len, k=beam,
+                vocab_w8=vw)
         return decode_lib.student_greedy(
-            student, variables, proc, max_len=max_len)
+            student, variables, proc, max_len=max_len, vocab_w8=vw)
 
     return step
 
@@ -281,13 +310,20 @@ class BatchCaptionServer:
                  beam: int = 0,
                  buckets: Optional[Sequence[int]] = None,
                  frame_shape: Tuple[int, int, int] = (224, 224, 3),
-                 window: int = 6, warmup: bool = True, mesh: Any = None):
+                 window: int = 6, warmup: bool = True, mesh: Any = None,
+                 vocab_int8: bool = False):
         import jax
 
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.student = student
         self.tokenizer = tokenizer
+        self.vocab_int8 = bool(vocab_int8)
+        if self.vocab_int8:
+            # one-time weight-only int8 pack of the vocab head, carried in
+            # the variables tree so every bucket program (and dp replica)
+            # shares it (docs/PERF.md §5 round-5 addendum)
+            variables = with_vocab_w8(variables)
         self.mesh = mesh
         self._dp = int(mesh.shape.get("dp", 1)) if mesh is not None else 1
         if self._dp > 1:
@@ -314,7 +350,8 @@ class BatchCaptionServer:
         # [B, W, H, Wd, 3] uint8 -> captions [B, 1+max_len] int32; shared
         # with rtvc_tpu.export so AOT artifacts serve the identical program.
         self._jit_step = jax.jit(make_caption_step(
-            student, max_len=self.max_len, beam=self.beam))
+            student, max_len=self.max_len, beam=self.beam,
+            vocab_int8=self.vocab_int8))
 
         self._lock = threading.Condition()
         # OrderedDict preserves FIFO arrival while allowing O(1) per-stream
